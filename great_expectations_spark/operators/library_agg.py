@@ -1,0 +1,424 @@
+"""Aggregate, schema-level, and value-metric expectation compilers.
+
+AggChecks contribute named aggregate Columns that the planner fuses
+into ONE ``df.agg(...)`` per suite — the reference bundles these the
+same way per compute-domain (sparkdf_execution_engine.py:669-747) but
+re-resolves per expectation; we dedupe by stat key at plan time.
+
+SchemaChecks are driver-only (df.schema), matching the reference's
+treatment of table.columns / table.column_types
+(table_metrics/table_columns.py:49-59, table_column_types.py:78-95).
+
+Value-metric JobChecks (median, quantiles, distinct sets,
+value_counts) run their own jobs through the shared MetricCache.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Any, Dict, Optional
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as sparktypes
+
+from .checks import AggCheck, JobCheck, MetricCache, SchemaCheck
+from ..core.result import validate_metric_value_between
+
+
+def _between_kwargs(cfg) -> dict:
+    return {
+        "min_value": cfg.kwargs.get("min_value"),
+        "max_value": cfg.kwargs.get("max_value"),
+        "strict_min": bool(cfg.kwargs.get("strict_min", False)),
+        "strict_max": bool(cfg.kwargs.get("strict_max", False)),
+    }
+
+
+def _metric_between_outcome(value, cfg):
+    out = validate_metric_value_between(value, **_between_kwargs(cfg))
+    return out["success"], out["result"]
+
+
+def _simple_agg_between(metric_key: str, agg_builder):
+    """Factory for expect_column_<stat>_to_be_between compilers.
+
+    Ref: _validate_metric_value_between (expectation.py:2153-2247) and
+    the agg-partial metrics column_min.py:65-85 etc.
+    """
+
+    def compile_fn(index, cfg, schema):
+        column = cfg.kwargs["column"]
+        key = f"{metric_key}:{column}"
+        return AggCheck(
+            index=index,
+            config=cfg,
+            needs={key: agg_builder(F.col(column))},
+            finalize=lambda stats: _metric_between_outcome(stats.get(key), cfg),
+        )
+
+    return compile_fn
+
+
+compile_min_between = _simple_agg_between("column.min", F.min)
+compile_max_between = _simple_agg_between("column.max", F.max)
+compile_mean_between = _simple_agg_between("column.mean", F.mean)
+compile_sum_between = _simple_agg_between("column.sum", F.sum)
+compile_stdev_between = _simple_agg_between(
+    "column.standard_deviation", F.stddev_samp
+)
+
+
+def compile_unique_value_count_between(index, cfg, schema):
+    """Exact distinct count (column_distinct_values.py:126-137)."""
+    column = cfg.kwargs["column"]
+    key = f"column.distinct_values.count:{column}"
+    return AggCheck(
+        index=index,
+        config=cfg,
+        needs={key: F.countDistinct(F.col(column))},
+        finalize=lambda stats: _metric_between_outcome(stats.get(key), cfg),
+    )
+
+
+def compile_proportion_unique_between(index, cfg, schema):
+    """distinct/nonnull (column_proportion_of_unique_values.py:41-66)."""
+    column = cfg.kwargs["column"]
+    dkey = f"column.distinct_values.count:{column}"
+    nkey = f"nonnull:{column}"
+
+    def finalize(stats):
+        distinct = stats.get(dkey)
+        nonnull = stats.get(nkey)
+        prop = (distinct / nonnull) if nonnull else 0
+        return _metric_between_outcome(prop, cfg)
+
+    c = F.col(column)
+    return AggCheck(
+        index=index,
+        config=cfg,
+        needs={
+            dkey: F.countDistinct(c),
+            nkey: F.sum(F.when(c.isNotNull(), 1).otherwise(0)),
+        },
+        finalize=finalize,
+    )
+
+
+def compile_table_row_count_between(index, cfg, schema):
+    key = "table.row_count"
+    return AggCheck(
+        index=index,
+        config=cfg,
+        needs={key: F.count(F.lit(1))},
+        finalize=lambda stats: _metric_between_outcome(stats.get(key), cfg),
+    )
+
+
+def compile_table_row_count_equal(index, cfg, schema):
+    key = "table.row_count"
+    expected = int(cfg.kwargs["value"])
+
+    def finalize(stats):
+        observed = stats.get(key)
+        return observed == expected, {"observed_value": observed}
+
+    return AggCheck(
+        index=index, config=cfg, needs={key: F.count(F.lit(1))}, finalize=finalize
+    )
+
+
+# --- value-metric JobChecks ---------------------------------------------------
+
+def compile_median_between(index, cfg, schema):
+    """Exact median via the ε-quantile trick (column_median.py:90-121)."""
+    column = cfg.kwargs["column"]
+
+    def run(df, stats, cache: MetricCache):
+        return _metric_between_outcome(cache.median(column), cfg)
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
+def compile_quantile_values_between(index, cfg, schema):
+    """Per-quantile range checks
+    (expect_column_quantile_values_to_be_between.py; Spark metric
+    column_quantile_values.py:177-209)."""
+    column = cfg.kwargs["column"]
+    qranges = cfg.kwargs["quantile_ranges"]
+    quantiles = list(qranges["quantiles"])
+    value_ranges = list(qranges["value_ranges"])
+    if len(quantiles) != len(value_ranges):
+        raise ValueError(
+            "quantile_values and quantiles must have the same number of elements"
+        )
+    allow_rel_err = cfg.kwargs.get("allow_relative_error", False)
+    rel_err = float(allow_rel_err) if allow_rel_err else 0.0
+
+    def run(df, stats, cache: MetricCache):
+        values = cache.quantiles(column, quantiles, rel_err)
+        details = []
+        for v, (lo, hi) in zip(values, value_ranges):
+            ok = (lo is None or v >= lo) and (hi is None or v <= hi)
+            details.append(ok)
+        return all(details), {
+            "observed_value": {"quantiles": quantiles, "values": values},
+            "details": {"success_details": details},
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
+def _distinct_outcome(cache: MetricCache, column: str):
+    vc = cache.value_counts(column)
+    observed_set = {v for v, _ in vc}
+    details = {"value_counts": [{"value": v, "count": c} for v, c in vc]}
+    return observed_set, details
+
+
+def compile_distinct_in_set(index, cfg, schema):
+    """observed ⊆ expected (expect_column_distinct_values_to_be_in_set.py:353-383)."""
+    column = cfg.kwargs["column"]
+    value_set = cfg.kwargs.get("value_set") or []
+
+    def run(df, stats, cache):
+        observed, details = _distinct_outcome(cache, column)
+        success = True if not value_set else observed.issubset(set(value_set))
+        return success, {
+            "observed_value": sorted(observed),
+            "details": details,
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
+def compile_distinct_contain_set(index, cfg, schema):
+    """expected ⊆ observed (expect_column_distinct_values_to_contain_set.py)."""
+    column = cfg.kwargs["column"]
+    value_set = cfg.kwargs.get("value_set") or []
+
+    def run(df, stats, cache):
+        observed, details = _distinct_outcome(cache, column)
+        return set(value_set).issubset(observed), {
+            "observed_value": sorted(observed),
+            "details": details,
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
+def compile_distinct_equal_set(index, cfg, schema):
+    """observed == expected (expect_column_distinct_values_to_equal_set.py:256-283)."""
+    column = cfg.kwargs["column"]
+    value_set = cfg.kwargs.get("value_set") or []
+
+    def run(df, stats, cache):
+        observed, details = _distinct_outcome(cache, column)
+        return observed == set(value_set), {
+            "observed_value": sorted(observed),
+            "details": details,
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
+def compile_most_common_value_in_set(index, cfg, schema):
+    """Modes ∩ value_set (expect_column_most_common_value_to_be_in_set.py:245-264)."""
+    column = cfg.kwargs["column"]
+    value_set = set(cfg.kwargs.get("value_set") or [])
+    ties_okay = cfg.kwargs.get("ties_okay")
+
+    def run(df, stats, cache):
+        vc = cache.value_counts(column)
+        if not vc:
+            return False, {"observed_value": []}
+        max_count = max(c for _, c in vc)
+        modes = sorted([v for v, c in vc if c == max_count], key=lambda x: str(x))
+        intersection = len(value_set.intersection(modes))
+        if ties_okay:
+            success = intersection > 0
+        else:
+            success = len(modes) == 1 and intersection == 1
+        return success, {"observed_value": modes}
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
+def compile_row_count_equal_other_table(index, cfg, schema):
+    """Compare two batches' counts
+    (expect_table_row_count_to_equal_other_table.py). The other table
+    is resolved from the validator's aux_tables by name."""
+    other = cfg.kwargs["other_table_name"]
+
+    def run(df, stats, cache: MetricCache):
+        aux = getattr(cache, "aux_tables", {})
+        if other not in aux:
+            raise ValueError(f"aux table {other!r} not provided to validator")
+        this_count = stats.get("table.row_count")
+        if this_count is None:
+            this_count = df.count()
+        other_count = aux[other].count()
+        return this_count == other_count, {
+            "observed_value": {"self": this_count, "other": other_count}
+        }
+
+    return JobCheck(
+        index=index,
+        config=cfg,
+        needs={"table.row_count": F.count(F.lit(1))},
+        run=run,
+    )
+
+
+# --- schema checks (driver-only, zero jobs) -----------------------------------
+
+def compile_column_to_exist(index, cfg, schema_unused):
+    column = cfg.kwargs["column"]
+    column_index = cfg.kwargs.get("column_index")
+
+    def evaluate(schema):
+        names = [f.name for f in schema.fields]
+        if column not in names:
+            return False, {}
+        if column_index is not None and names.index(column) != column_index:
+            return False, {}
+        return True, {}
+
+    return SchemaCheck(index=index, config=cfg, evaluate=evaluate)
+
+
+def compile_columns_match_ordered_list(index, cfg, schema_unused):
+    expected = cfg.kwargs.get("column_list")
+
+    def evaluate(schema):
+        names = [f.name for f in schema.fields]
+        if expected is None:
+            return True, {"observed_value": names}
+        success = names == list(expected)
+        result: Dict[str, Any] = {"observed_value": names}
+        if not success:
+            # mismatch detail like the reference's diff list
+            import itertools
+
+            mismatched = []
+            for i, (exp, obs) in enumerate(
+                itertools.zip_longest(expected, names)
+            ):
+                if exp != obs:
+                    mismatched.append(
+                        {"Expected Column Position": i, "Expected": exp, "Found": obs}
+                    )
+            result["details"] = {"mismatched": mismatched}
+        return success, result
+
+    return SchemaCheck(index=index, config=cfg, evaluate=evaluate)
+
+
+def compile_columns_match_set(index, cfg, schema_unused):
+    expected = set(cfg.kwargs.get("column_set") or [])
+    exact_match = cfg.kwargs.get("exact_match", True)
+
+    def evaluate(schema):
+        observed = {f.name for f in schema.fields}
+        if exact_match in (True, None):
+            success = observed == expected
+        else:
+            success = expected.issubset(observed)
+        result: Dict[str, Any] = {"observed_value": sorted(observed)}
+        unexpected = sorted(observed - expected)
+        missing = sorted(expected - observed)
+        if unexpected or missing:
+            result["details"] = {
+                "mismatched": {"unexpected": unexpected, "missing": missing}
+            }
+        return success, result
+
+    return SchemaCheck(index=index, config=cfg, evaluate=evaluate)
+
+
+def compile_column_count_between(index, cfg, schema_unused):
+    kw = _between_kwargs(cfg)
+
+    def evaluate(schema):
+        out = validate_metric_value_between(len(schema.fields), **kw)
+        return out["success"], out["result"]
+
+    return SchemaCheck(index=index, config=cfg, evaluate=evaluate)
+
+
+def compile_column_count_equal(index, cfg, schema_unused):
+    expected = int(cfg.kwargs["value"])
+
+    def evaluate(schema):
+        n = len(schema.fields)
+        return n == expected, {"observed_value": n}
+
+    return SchemaCheck(index=index, config=cfg, evaluate=evaluate)
+
+
+def _spark_type_matches(actual, type_name: Optional[str]) -> bool:
+    """Schema-level type check, matching the reference's Spark branch
+    (expect_column_values_to_be_of_type.py:413-434): isinstance against
+    getattr(pyspark.sql.types, name)."""
+    if type_name is None:
+        return True
+    cls = getattr(sparktypes, type_name, None)
+    if cls is None:
+        return type(actual).__name__ == type_name
+    try:
+        return isinstance(actual, cls)
+    except TypeError:
+        return False
+
+
+def compile_values_of_type(index, cfg, schema_unused):
+    column = cfg.kwargs["column"]
+    type_ = cfg.kwargs.get("type_")
+
+    def evaluate(schema):
+        actual = schema[column].dataType
+        return _spark_type_matches(actual, type_), {
+            "observed_value": type(actual).__name__
+        }
+
+    return SchemaCheck(index=index, config=cfg, evaluate=evaluate)
+
+
+def compile_values_in_type_list(index, cfg, schema_unused):
+    column = cfg.kwargs["column"]
+    type_list = cfg.kwargs.get("type_list")
+
+    def evaluate(schema):
+        actual = schema[column].dataType
+        if type_list is None:
+            return True, {"observed_value": type(actual).__name__}
+        ok = any(_spark_type_matches(actual, t) for t in type_list)
+        return ok, {"observed_value": type(actual).__name__}
+
+    return SchemaCheck(index=index, config=cfg, evaluate=evaluate)
+
+
+AGG_COMPILERS = {
+    "expect_column_min_to_be_between": compile_min_between,
+    "expect_column_max_to_be_between": compile_max_between,
+    "expect_column_mean_to_be_between": compile_mean_between,
+    "expect_column_sum_to_be_between": compile_sum_between,
+    "expect_column_stdev_to_be_between": compile_stdev_between,
+    "expect_column_unique_value_count_to_be_between": compile_unique_value_count_between,
+    "expect_column_proportion_of_unique_values_to_be_between": compile_proportion_unique_between,
+    "expect_table_row_count_to_be_between": compile_table_row_count_between,
+    "expect_table_row_count_to_equal": compile_table_row_count_equal,
+    "expect_column_median_to_be_between": compile_median_between,
+    "expect_column_quantile_values_to_be_between": compile_quantile_values_between,
+    "expect_column_distinct_values_to_be_in_set": compile_distinct_in_set,
+    "expect_column_distinct_values_to_contain_set": compile_distinct_contain_set,
+    "expect_column_distinct_values_to_equal_set": compile_distinct_equal_set,
+    "expect_column_most_common_value_to_be_in_set": compile_most_common_value_in_set,
+    "expect_table_row_count_to_equal_other_table": compile_row_count_equal_other_table,
+    "expect_column_to_exist": compile_column_to_exist,
+    "expect_table_columns_to_match_ordered_list": compile_columns_match_ordered_list,
+    "expect_table_columns_to_match_set": compile_columns_match_set,
+    "expect_table_column_count_to_be_between": compile_column_count_between,
+    "expect_table_column_count_to_equal": compile_column_count_equal,
+    "expect_column_values_to_be_of_type": compile_values_of_type,
+    "expect_column_values_to_be_in_type_list": compile_values_in_type_list,
+}

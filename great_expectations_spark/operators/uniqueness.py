@@ -1,0 +1,161 @@
+"""Two-phase hash-aggregation uniqueness checks.
+
+The reference marks duplicates with a window count over
+``Window.partitionBy(col)`` (column_values_unique.py:79-84,
+compound_columns_unique.py:149-155) which shuffles every row and skews
+on hot keys. We instead aggregate ``groupBy(keys).count()`` (map-side
+partial aggregation, AQE-coalesced shuffle), keep only groups with
+count > 1, and reconstruct violation values driver-side from
+(value, count) pairs — no join-back scan is needed for value lists,
+and the shuffle payload is one row per *distinct* key, not per row.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from pyspark.sql import functions as F
+
+from ..core.config import parse_result_format, result_format_at_least
+from ..core.result import format_map_output, mostly_success
+from .checks import JobCheck, MetricCache
+from .common import get_mostly, multi_consider
+
+
+def _dup_groups(df, key_cols: List[str], consider, cap: int):
+    """(values..., count) rows for groups with count > 1, plus total
+    duplicated-row count; one shuffle, second tiny agg on the grouped
+    side."""
+    base = df.where(consider) if consider is not None else df
+    grouped = base.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    dups = grouped.where(F.col("__cnt") > 1)
+    total = dups.agg(
+        F.coalesce(F.sum("__cnt"), F.lit(0)).alias("s"),
+    ).first()["s"]
+    pairs = dups.limit(cap).collect()
+    return int(total), pairs
+
+
+def compile_values_unique(index, cfg, schema) -> JobCheck:
+    """expect_column_values_to_be_unique."""
+    column = cfg.kwargs["column"]
+    mostly = get_mostly(cfg.kwargs)
+    c = F.col(column)
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        rf = parse_result_format(
+            cfg.kwargs.get("result_format", cache.result_format)
+        )
+        element_count = stats["table.row_count"]
+        nonnull = stats[f"nonnull:{column}"]
+        want_lists = rf["result_format"] != "BOOLEAN_ONLY"
+        cap = (
+            cache.complete_cap
+            if result_format_at_least(rf, "COMPLETE")
+            else rf["partial_unexpected_count"]
+        )
+        unexpected_count, pairs = _dup_groups(
+            df, [column], c.isNotNull(), max(cap, 1)
+        )
+        unexpected_list = None
+        if want_lists:
+            unexpected_list = []
+            for row in pairs:
+                unexpected_list.extend([row[0]] * row["__cnt"])
+                if len(unexpected_list) >= cap:
+                    break
+            unexpected_list = unexpected_list[:cap]
+        success = (
+            True
+            if element_count == 0 or nonnull == 0
+            else mostly_success(nonnull, unexpected_count, mostly)
+        )
+        out = format_map_output(
+            result_format=rf,
+            success=success,
+            element_count=element_count,
+            nonnull_count=nonnull,
+            unexpected_count=unexpected_count,
+            unexpected_list=unexpected_list,
+        )
+        return out["success"], out.get("result", {})
+
+    return JobCheck(
+        index=index,
+        config=cfg,
+        needs={
+            "table.row_count": F.count(F.lit(1)),
+            f"nonnull:{column}": F.sum(F.when(c.isNotNull(), 1).otherwise(0)),
+        },
+        run=run,
+    )
+
+
+def compile_compound_unique(index, cfg, schema) -> JobCheck:
+    """expect_compound_columns_to_be_unique; groupBy over the column
+    tuple replaces the reference's struct-window
+    (compound_columns_unique.py:149-155)."""
+    cols = list(cfg.kwargs["column_list"])
+    ignore_row_if = cfg.kwargs.get("ignore_row_if", "all_values_are_missing")
+    mostly = get_mostly(cfg.kwargs)
+    consider_key = f"multi:{':'.join(cols)}:{ignore_row_if}"
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        rf = parse_result_format(
+            cfg.kwargs.get("result_format", cache.result_format)
+        )
+        element_count = stats["table.row_count"]
+        filtered = stats[f"considered:{consider_key}"]
+        want_lists = rf["result_format"] != "BOOLEAN_ONLY"
+        cap = (
+            cache.complete_cap
+            if result_format_at_least(rf, "COMPLETE")
+            else rf["partial_unexpected_count"]
+        )
+        unexpected_count, rows = _dup_groups(
+            df, cols, multi_consider(cols, ignore_row_if), max(cap, 1)
+        )
+        unexpected_list = None
+        if want_lists:
+            unexpected_list = []
+            for row in rows:
+                rec = {c: row[c] for c in cols}
+                unexpected_list.extend([rec] * row["__cnt"])
+                if len(unexpected_list) >= cap:
+                    break
+            unexpected_list = unexpected_list[:cap]
+        success = (
+            True
+            if element_count == 0 or filtered == 0
+            else mostly_success(filtered, unexpected_count, mostly)
+        )
+        out = format_map_output(
+            result_format=rf,
+            success=success,
+            element_count=element_count,
+            nonnull_count=filtered,
+            unexpected_count=unexpected_count,
+            unexpected_list=unexpected_list,
+        )
+        return out["success"], out.get("result", {})
+
+    consider = multi_consider(cols, ignore_row_if)
+    return JobCheck(
+        index=index,
+        config=cfg,
+        needs={
+            "table.row_count": F.count(F.lit(1)),
+            f"considered:{consider_key}": F.sum(
+                F.when(consider, 1).otherwise(0)
+            ),
+        },
+        run=run,
+    )
+
+
+UNIQUE_COMPILERS = {
+    "expect_column_values_to_be_unique": compile_values_unique,
+    "expect_compound_columns_to_be_unique": compile_compound_unique,
+}

@@ -1,0 +1,93 @@
+"""Deterministic fake image codec.
+
+Real decoders (Pillow/libjpeg) are not installed in this container, so
+this module provides a self-describing byte format that lets every
+payload check run end-to-end with REAL Spark plumbing and deterministic
+results:
+
+    header:  b"FIMG" | fmt(4s, padded) | w(uint16 BE) | h(uint16 BE)
+    body:    w*h seeded pseudo-random grayscale pixel bytes
+             (xorshift64* stream keyed by the image seed)
+
+``decode_image`` raises ValueError on truncated/corrupt payloads —
+standing in for a real decoder error. To swap in a real codec, replace
+encode/decode here; all Spark-side code (schemas, Arrow UDF signatures,
+batch shapes) is codec-agnostic. Checks that genuinely need a real
+codec are marked with NotImplementedError in payload/image.py.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Tuple
+
+import numpy as np
+
+MAGIC = b"FIMG"
+HEADER = struct.Struct(">4s4sHH")
+
+
+def _pixel_stream(seed: int, n: int) -> np.ndarray:
+    """xorshift64*-seeded deterministic pixel bytes."""
+    x = np.uint64(seed * 2654435761 % (2**63) + 1)
+    out = np.empty(n, dtype=np.uint8)
+    v = int(x)
+    for i in range(n):
+        v ^= (v >> 12) & 0xFFFFFFFFFFFFFFFF
+        v ^= (v << 25) & 0xFFFFFFFFFFFFFFFF
+        v ^= (v >> 27) & 0xFFFFFFFFFFFFFFFF
+        out[i] = (v * 2685821657736338717) >> 56 & 0xFF
+    return out
+
+
+def encode_image(seed: int, w: int, h: int, fmt: str) -> bytes:
+    header = HEADER.pack(MAGIC, fmt.encode()[:4].ljust(4, b"\0"), w, h)
+    return header + _pixel_stream(seed, w * h).tobytes()
+
+
+def decode_image(payload: bytes) -> Tuple[str, int, int, np.ndarray]:
+    """Return (fmt, w, h, pixels[h,w]); raises ValueError when corrupt."""
+    if payload is None or len(payload) < HEADER.size:
+        raise ValueError("truncated header")
+    magic, fmt_b, w, h = HEADER.unpack(payload[: HEADER.size])
+    if magic != MAGIC:
+        raise ValueError("bad magic")
+    body = payload[HEADER.size :]
+    if len(body) != w * h:
+        raise ValueError("truncated body")
+    pixels = np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+    return fmt_b.rstrip(b"\0").decode(), w, h, pixels
+
+
+def phash64(payload: bytes) -> int:
+    """Perceptual-hash stand-in: 64-bit signature of the 8x8
+    mean-pooled pixel grid thresholded at the median — the same
+    structure as a real pHash (DCT swapped for mean-pooling, which is
+    deterministic and codec-independent here). Signed int64 for
+    LongType columns."""
+    fmt, w, h, px = decode_image(payload)
+    # pool to 8x8
+    ys = np.array_split(np.arange(h), 8)
+    xs = np.array_split(np.arange(w), 8)
+    grid = np.array(
+        [[px[np.ix_(y, x)].mean() for x in xs] for y in ys]
+    )
+    med = np.median(grid)
+    bits = (grid > med).flatten()
+    val = 0
+    for b in bits:
+        val = (val << 1) | int(b)
+    # wrap to signed 64-bit
+    if val >= 2**63:
+        val -= 2**64
+    return int(val)
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB (identical arrays → inf)."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = float(np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 10.0 * np.log10(255.0**2 / mse)

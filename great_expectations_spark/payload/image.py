@@ -1,0 +1,260 @@
+"""Image-payload expectations: Arrow-vectorized decode checks.
+
+The reference never touches binary payloads (its test type lattice is
+flat relational, self_check/util.py:1110-1121); these are the engine's
+additions for the image+caption table (BASELINE.json north_star):
+
+- expect_image_bytes_to_be_decodable
+- expect_image_dimensions_to_match_metadata   (decoded w/h == w/h cols)
+- expect_image_format_to_match_metadata       (decoded fmt == fmt col)
+- expect_image_phash_to_match                 (recomputed phash == col,
+                                               hamming tolerance)
+- expect_image_pixels_to_match_reference      (PSNR >= threshold vs a
+                                               reference table; real
+                                               lossy-codec PSNR needs a
+                                               real decoder — see codec)
+
+All run as pandas UDFs over Arrow batches (never per-row Python), and
+are compiled as MapChecks so their counts fuse into the single suite
+agg and their violations ride the shared harvest pass. Columns are
+pruned so suites WITHOUT payload checks never read `bytes`.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, IntegerType, LongType, StringType
+
+from ..operators.checks import MapCheck
+from ..operators.common import decode_single, get_mostly, json_value
+from .codec import decode_image, phash64
+
+
+@F.pandas_udf(BooleanType())
+def _decodable(payload: pd.Series) -> pd.Series:
+    def ok(b):
+        if b is None:
+            return None
+        try:
+            decode_image(bytes(b))
+            return True
+        except ValueError:
+            return False
+
+    return payload.map(ok)
+
+
+@F.pandas_udf("w int, h int, fmt string")
+def _decoded_meta(payload: pd.Series) -> pd.DataFrame:
+    """Batch-decode: returns (w, h, fmt) per payload, nulls on failure."""
+    ws, hs, fmts = [], [], []
+    for b in payload:
+        try:
+            fmt, w, h, _ = decode_image(bytes(b)) if b is not None else (None,) * 4
+            ws.append(w)
+            hs.append(h)
+            fmts.append(fmt)
+        except ValueError:
+            ws.append(None)
+            hs.append(None)
+            fmts.append(None)
+    return pd.DataFrame({"w": ws, "h": hs, "fmt": fmts})
+
+
+@F.pandas_udf(LongType())
+def _recomputed_phash(payload: pd.Series) -> pd.Series:
+    def compute(b):
+        if b is None:
+            return None
+        try:
+            return phash64(bytes(b))
+        except ValueError:
+            return None
+
+    return payload.map(compute)
+
+
+def _image_map_check(
+    index, cfg, cond: Column, column: str, value: Column = None
+) -> MapCheck:
+    col = F.col(column)
+    value = value if value is not None else json_value(col)
+    return MapCheck(
+        index=index,
+        config=cfg,
+        columns=[column],
+        build=lambda stats: (cond, value),
+        consider=lambda: F.col(column).isNotNull(),
+        consider_key=f"nonnull:{column}",
+        denominator="nonnull",
+        mostly=get_mostly(cfg.kwargs),
+        value_decoder=decode_single,
+    )
+
+
+def compile_bytes_decodable(index, cfg, schema) -> MapCheck:
+    column = cfg.kwargs.get("column", "bytes")
+    id_column = cfg.kwargs.get("id_column", "image_id")
+    cond = ~_decodable(F.col(column))
+    return _image_map_check(
+        index, cfg, cond, column, value=json_value(F.col(id_column))
+    )
+
+
+def compile_dimensions_match(index, cfg, schema) -> MapCheck:
+    column = cfg.kwargs.get("column", "bytes")
+    w_col = cfg.kwargs.get("width_column", "w")
+    h_col = cfg.kwargs.get("height_column", "h")
+    id_column = cfg.kwargs.get("id_column", "image_id")
+    meta = _decoded_meta(F.col(column))
+    expected = (meta["w"] == F.col(w_col)) & (meta["h"] == F.col(h_col))
+    # undecodable payloads are their own check's problem; treat decoded
+    # nulls as unexpected here only when metadata is present
+    cond = ~F.coalesce(expected, F.lit(False))
+    return _image_map_check(
+        index, cfg, cond, column, value=json_value(F.col(id_column))
+    )
+
+
+def compile_format_match(index, cfg, schema) -> MapCheck:
+    column = cfg.kwargs.get("column", "bytes")
+    fmt_col = cfg.kwargs.get("format_column", "fmt")
+    id_column = cfg.kwargs.get("id_column", "image_id")
+    meta = _decoded_meta(F.col(column))
+    cond = ~F.coalesce(meta["fmt"] == F.col(fmt_col), F.lit(False))
+    return _image_map_check(
+        index, cfg, cond, column, value=json_value(F.col(id_column))
+    )
+
+
+def compile_phash_match(index, cfg, schema) -> MapCheck:
+    """Recompute the perceptual hash from the payload and compare to
+    the stored phash column within a hamming-distance tolerance
+    (bit_count(xor) — JVM-side after the vectorized recompute)."""
+    column = cfg.kwargs.get("column", "bytes")
+    phash_col = cfg.kwargs.get("phash_column", "phash")
+    id_column = cfg.kwargs.get("id_column", "image_id")
+    max_hamming = int(cfg.kwargs.get("max_hamming_distance", 0))
+    recomputed = _recomputed_phash(F.col(column))
+    hamming = F.bit_count(recomputed.bitwiseXOR(F.col(phash_col)))
+    cond = ~F.coalesce(hamming <= F.lit(max_hamming), F.lit(False))
+    return _image_map_check(
+        index, cfg, cond, column, value=json_value(F.col(id_column))
+    )
+
+
+def compile_pixels_match_reference(index, cfg, schema):
+    """PSNR >= threshold against a reference table's payloads.
+
+    Requires joining on image_id against an aux table and decoding both
+    sides; with the fake codec, identical seeds give PSNR=inf and any
+    corruption gives low PSNR. With a REAL lossy codec this is where
+    decoded-pixel allclose (PSNR>=40dB) runs — the decode internals are
+    the only stubbed part (see payload/codec.py).
+    """
+    from functools import partial
+
+    from ..core.config import parse_result_format, result_format_at_least
+    from ..core.result import format_map_output, mostly_success
+    from ..operators.checks import JobCheck
+
+    column = cfg.kwargs.get("column", "bytes")
+    id_column = cfg.kwargs.get("id_column", "image_id")
+    ref_table = cfg.kwargs["reference_table_name"]
+    min_psnr = float(cfg.kwargs.get("min_psnr", 40.0))
+    mostly = get_mostly(cfg.kwargs)
+
+    @F.pandas_udf("double")
+    def _psnr_pair(a: pd.Series, b: pd.Series) -> pd.Series:
+        from .codec import decode_image as dec, psnr as _psnr
+
+        out = []
+        for pa, pb in zip(a, b):
+            if pa is None or pb is None:
+                out.append(None)
+                continue
+            try:
+                _, _, _, xa = dec(bytes(pa))
+                _, _, _, xb = dec(bytes(pb))
+                out.append(_psnr(xa, xb))
+            except ValueError:
+                out.append(0.0)
+        return pd.Series(out, dtype="float64")
+
+    def run(df, stats: Dict[str, Any], cache):
+        rf = parse_result_format(
+            cfg.kwargs.get("result_format", cache.result_format)
+        )
+        aux = cache.aux_tables
+        if ref_table not in aux:
+            raise ValueError(f"reference table {ref_table!r} not provided")
+        element_count = stats["table.row_count"]
+        ref = aux[ref_table].select(
+            F.col(id_column).alias("__rid"), F.col(column).alias("__rbytes")
+        )
+        joined = df.select(id_column, column).join(
+            ref, F.col(id_column) == F.col("__rid"), "inner"
+        )
+        scored = joined.withColumn(
+            "__psnr", _psnr_pair(F.col(column), F.col("__rbytes"))
+        )
+        agg = scored.agg(
+            F.count(F.lit(1)).alias("considered"),
+            F.sum(
+                F.when(
+                    ~F.coalesce(F.col("__psnr") >= min_psnr, F.lit(False)), 1
+                ).otherwise(0)
+            ).alias("unexpected"),
+        ).first()
+        considered = agg["considered"] or 0
+        unexpected_count = agg["unexpected"] or 0
+        unexpected_list = None
+        if rf["result_format"] != "BOOLEAN_ONLY":
+            cap = (
+                cache.complete_cap
+                if result_format_at_least(rf, "COMPLETE")
+                else rf["partial_unexpected_count"]
+            )
+            rows = (
+                scored.where(
+                    ~F.coalesce(F.col("__psnr") >= min_psnr, F.lit(False))
+                )
+                .select(id_column)
+                .limit(cap)
+                .collect()
+            )
+            unexpected_list = [r[0] for r in rows]
+        success = (
+            True
+            if element_count == 0 or considered == 0
+            else mostly_success(considered, unexpected_count, mostly)
+        )
+        out = format_map_output(
+            result_format=rf,
+            success=success,
+            element_count=element_count,
+            nonnull_count=considered,
+            unexpected_count=unexpected_count,
+            unexpected_list=unexpected_list,
+        )
+        return out["success"], out.get("result", {})
+
+    return JobCheck(
+        index=index,
+        config=cfg,
+        needs={"table.row_count": F.count(F.lit(1))},
+        run=run,
+    )
+
+
+IMAGE_COMPILERS = {
+    "expect_image_bytes_to_be_decodable": compile_bytes_decodable,
+    "expect_image_dimensions_to_match_metadata": compile_dimensions_match,
+    "expect_image_format_to_match_metadata": compile_format_match,
+    "expect_image_phash_to_match": compile_phash_match,
+    "expect_image_pixels_to_match_reference": compile_pixels_match_reference,
+}
