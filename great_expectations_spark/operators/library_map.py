@@ -280,7 +280,7 @@ def compile_match_strftime_format(index, cfg, schema) -> MapCheck:
                 except (ValueError, TypeError):
                     return False
 
-            return s.map(ok)
+            return pd.Series([ok(v) for v in s], dtype="boolean")
 
         cond = ~_strptime_ok(col)
     return _column_map_check(index, cfg, cond, column)
@@ -302,7 +302,7 @@ def compile_json_parseable(index, cfg, schema) -> MapCheck:
             except (ValueError, TypeError):
                 return False
 
-        return s.map(ok)
+        return pd.Series([ok(v) for v in s], dtype="boolean")
 
     cond = ~_json_ok(F.col(column))
     return _column_map_check(index, cfg, cond, column)
@@ -327,7 +327,7 @@ def compile_match_json_schema(index, cfg, schema) -> MapCheck:
             except (ValueError, TypeError):
                 return False
 
-        return s.map(ok)
+        return pd.Series([ok(v) for v in s], dtype="boolean")
 
     cond = ~_schema_ok(F.col(column))
     return _column_map_check(index, cfg, cond, column)
@@ -351,7 +351,7 @@ def compile_dateutil_parseable(index, cfg, schema) -> MapCheck:
             except (ValueError, OverflowError, TypeError):
                 return False
 
-        return s.map(ok)
+        return pd.Series([ok(v) for v in s], dtype="boolean")
 
     cond = ~_parseable(F.col(column))
     return _column_map_check(index, cfg, cond, column)

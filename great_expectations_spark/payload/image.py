@@ -27,7 +27,14 @@ from typing import Any, Dict, Tuple
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType, IntegerType, LongType, StringType
+from pyspark.sql.types import (
+    BooleanType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from ..operators.checks import MapCheck
 from ..operators.common import decode_single, get_mostly, json_value
@@ -45,10 +52,23 @@ def _decodable(payload: pd.Series) -> pd.Series:
         except ValueError:
             return False
 
-    return payload.map(ok)
+    # explicit nullable dtype: object-dtype Series with None triggers a
+    # lossy inference path in Arrow conversion (see _recomputed_phash)
+    return pd.Series([ok(b) for b in payload], dtype="boolean")
 
 
-@F.pandas_udf("w int, h int, fmt string")
+# explicit StructType: DDL-string return types are parsed eagerly at
+# decoration time in PySpark 4.x and require an active session
+_DECODED_META_T = StructType(
+    [
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_DECODED_META_T)
 def _decoded_meta(payload: pd.Series) -> pd.DataFrame:
     """Batch-decode: returns (w, h, fmt) per payload, nulls on failure."""
     ws, hs, fmts = [], [], []
@@ -62,7 +82,13 @@ def _decoded_meta(payload: pd.Series) -> pd.DataFrame:
             ws.append(None)
             hs.append(None)
             fmts.append(None)
-    return pd.DataFrame({"w": ws, "h": hs, "fmt": fmts})
+    return pd.DataFrame(
+        {
+            "w": pd.array(ws, dtype="Int32"),
+            "h": pd.array(hs, dtype="Int32"),
+            "fmt": pd.array(fmts, dtype="string"),
+        }
+    )
 
 
 @F.pandas_udf(LongType())
@@ -75,7 +101,12 @@ def _recomputed_phash(payload: pd.Series) -> pd.Series:
         except ValueError:
             return None
 
-    return payload.map(compute)
+    # MUST be nullable Int64: `payload.map(...)` would yield an
+    # object-dtype Series, and when a batch contains a None the
+    # Arrow conversion routes int64 values through float64, silently
+    # corrupting hashes above 2^53 (observed on PySpark 4.1: ~512-ulp
+    # errors on 62-bit phashes → mass false violations)
+    return pd.Series([compute(b) for b in payload], dtype="Int64")
 
 
 def _image_map_check(
