@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship workload: a full expectation-suite
+validation (fused-agg planner, two-phase uniqueness, payload checks)
+over the deterministic synthetic image+caption table plus the sf0.001
+lineitem table, returning the per-expectation results as a DataFrame.
+
+`queries()` / `oracle_sql()` expose one entry per operator family
+from SURVEY.md §2 (and the training-data-pipeline operators), each
+with a DuckDB-runnable ANSI-SQL oracle where SQL can express it.
 """
 
 from __future__ import annotations
@@ -13,26 +16,93 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from great_expectations_spark import suite_queries
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate the synthetic image+caption table (payload
+    checks via Arrow UDFs, stats via ONE fused agg, uniqueness via
+    two-phase hash agg) and the sf0.001 lineitem table; return EVRs."""
+    import json
+
+    from pyspark.sql import types as T
+
+    import great_expectations_spark as ges
+    from great_expectations_spark.data.images import images_df
+
+    img = images_df(spark, n_rows=2000, seed=42)
+    img_suite = (
+        ges.suite("images")
+        .expect("expect_table_columns_to_match_set",
+                column_set=["image_id", "bytes", "w", "h", "fmt",
+                            "caption", "phash"])
+        .expect("expect_column_values_to_not_be_null", column="caption",
+                mostly=0.99)
+        .expect("expect_column_values_to_be_in_set", column="fmt",
+                value_set=["jpeg", "png", "webp"], mostly=0.99)
+        .expect("expect_column_values_to_be_between", column="w",
+                min_value=1, max_value=64)
+        .expect("expect_column_values_to_be_unique", column="image_id",
+                mostly=0.99)
+        .expect("expect_image_bytes_to_be_decodable", column="bytes",
+                mostly=0.99)
+        .expect("expect_image_dimensions_to_match_metadata", column="bytes",
+                mostly=0.99)
+        .expect("expect_image_phash_to_match", column="bytes",
+                max_hamming_distance=0, mostly=0.95)
+    )
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    li_suite = (
+        ges.suite("lineitem")
+        .expect("expect_column_values_to_not_be_null", column="l_orderkey")
+        .expect("expect_column_values_to_be_in_set", column="l_returnflag",
+                value_set=["A", "N", "R"])
+        .expect("expect_column_mean_to_be_between", column="l_quantity",
+                min_value=1, max_value=50)
+        .expect("expect_column_values_to_be_between", column="l_discount",
+                min_value=0.0, max_value=0.1)
+    )
+
+    rows = []
+    for suite_name, df, suite in (
+        ("images", img, img_suite),
+        ("lineitem", li, li_suite),
+    ):
+        res = ges.validate(df, suite, result_format="BASIC")
+        for evr in res.results:
+            r = evr.result or {}
+            rows.append(
+                (
+                    suite_name,
+                    evr.expectation_config.expectation_type,
+                    str(evr.expectation_config.kwargs.get("column", "")),
+                    bool(evr.success),
+                    int(r.get("element_count") or 0),
+                    int(r.get("unexpected_count") or 0),
+                    json.dumps(r.get("observed_value"), default=str),
+                )
+            )
+    schema = T.StructType(
+        [
+            T.StructField("suite", T.StringType()),
+            T.StructField("expectation_type", T.StringType()),
+            T.StructField("column", T.StringType()),
+            T.StructField("success", T.BooleanType()),
+            T.StructField("element_count", T.LongType()),
+            T.StructField("unexpected_count", T.LongType()),
+            T.StructField("observed_value", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _) in suite_queries.registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql
+        for name, (_, sql) in suite_queries.registry().items()
+        if sql is not None
+    }

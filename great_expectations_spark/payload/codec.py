@@ -66,18 +66,32 @@ def phash64(payload: bytes) -> int:
     deterministic and codec-independent here). Signed int64 for
     LongType columns."""
     fmt, w, h, px = decode_image(payload)
+    return phash_from_pixels(px)
+
+
+def phash_from_pixels(px: np.ndarray) -> int:
+    """phash64 on already-decoded pixels (lets callers that hold the
+    decoded array skip a second decode)."""
+    h, w = px.shape
     # pool to 8x8
-    ys = np.array_split(np.arange(h), 8)
-    xs = np.array_split(np.arange(w), 8)
-    grid = np.array(
-        [[px[np.ix_(y, x)].mean() for x in xs] for y in ys]
-    )
+    if h % 8 == 0 and w % 8 == 0:
+        # vectorized path: one reshape-mean instead of 64 slice-means
+        # (identical arithmetic to the general path below — equal-size
+        # blocks — but ~40x less Python/numpy dispatch overhead)
+        grid = px.reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+    else:
+        ys = np.array_split(np.arange(h), 8)
+        xs = np.array_split(np.arange(w), 8)
+        grid = np.array(
+            [[px[np.ix_(y, x)].mean() for x in xs] for y in ys]
+        )
     med = np.median(grid)
-    bits = (grid > med).flatten()
-    val = 0
-    for b in bits:
-        val = (val << 1) | int(b)
-    # wrap to signed 64-bit
+    bits = (grid > med).ravel()
+    # pack 64 bits in one numpy pass (MSB-first, matching the previous
+    # shift loop), then wrap to signed 64-bit
+    val = int.from_bytes(
+        np.packbits(bits.astype(np.uint8)).tobytes(), "big"
+    )
     if val >= 2**63:
         val -= 2**64
     return int(val)

@@ -38,7 +38,7 @@ from pyspark.sql.types import (
 
 from ..operators.checks import MapCheck
 from ..operators.common import decode_single, get_mostly, json_value
-from .codec import decode_image, phash64
+from .codec import decode_image, phash64, phash_from_pixels
 
 
 @F.pandas_udf(BooleanType())
@@ -91,6 +91,59 @@ def _decoded_meta(payload: pd.Series) -> pd.DataFrame:
     )
 
 
+# Fused single-decode feature extractor: every image check derives its
+# condition from fields of this one struct, so a suite with N image
+# expectations decodes each payload ONCE per scan instead of N times.
+# All calls share an identical deterministic expression, which Catalyst
+# collapses into a single ArrowEvalPython evaluation per pass.
+_IMAGE_FEATURES_T = StructType(
+    [
+        StructField("ok", BooleanType()),
+        StructField("w", IntegerType()),
+        StructField("h", IntegerType()),
+        StructField("fmt", StringType()),
+        StructField("phash", LongType()),
+    ]
+)
+
+
+@F.pandas_udf(_IMAGE_FEATURES_T)
+def _image_features(payload: pd.Series) -> pd.DataFrame:
+    oks, ws, hs, fmts, phs = [], [], [], [], []
+    for b in payload:
+        if b is None:
+            oks.append(None)
+            ws.append(None)
+            hs.append(None)
+            fmts.append(None)
+            phs.append(None)
+            continue
+        try:
+            fmt, w, h, px = decode_image(bytes(b))
+            oks.append(True)
+            ws.append(w)
+            hs.append(h)
+            fmts.append(fmt)
+            phs.append(phash_from_pixels(px))
+        except ValueError:
+            oks.append(False)
+            ws.append(None)
+            hs.append(None)
+            fmts.append(None)
+            phs.append(None)
+    # explicit nullable dtypes — see _recomputed_phash for why object
+    # dtype with None corrupts int64 via float64 inference
+    return pd.DataFrame(
+        {
+            "ok": pd.array(oks, dtype="boolean"),
+            "w": pd.array(ws, dtype="Int32"),
+            "h": pd.array(hs, dtype="Int32"),
+            "fmt": pd.array(fmts, dtype="string"),
+            "phash": pd.array(phs, dtype="Int64"),
+        }
+    )
+
+
 @F.pandas_udf(LongType())
 def _recomputed_phash(payload: pd.Series) -> pd.Series:
     def compute(b):
@@ -130,7 +183,7 @@ def _image_map_check(
 def compile_bytes_decodable(index, cfg, schema) -> MapCheck:
     column = cfg.kwargs.get("column", "bytes")
     id_column = cfg.kwargs.get("id_column", "image_id")
-    cond = ~_decodable(F.col(column))
+    cond = ~_image_features(F.col(column))["ok"]
     return _image_map_check(
         index, cfg, cond, column, value=json_value(F.col(id_column))
     )
@@ -141,7 +194,7 @@ def compile_dimensions_match(index, cfg, schema) -> MapCheck:
     w_col = cfg.kwargs.get("width_column", "w")
     h_col = cfg.kwargs.get("height_column", "h")
     id_column = cfg.kwargs.get("id_column", "image_id")
-    meta = _decoded_meta(F.col(column))
+    meta = _image_features(F.col(column))
     expected = (meta["w"] == F.col(w_col)) & (meta["h"] == F.col(h_col))
     # undecodable payloads are their own check's problem; treat decoded
     # nulls as unexpected here only when metadata is present
@@ -155,7 +208,7 @@ def compile_format_match(index, cfg, schema) -> MapCheck:
     column = cfg.kwargs.get("column", "bytes")
     fmt_col = cfg.kwargs.get("format_column", "fmt")
     id_column = cfg.kwargs.get("id_column", "image_id")
-    meta = _decoded_meta(F.col(column))
+    meta = _image_features(F.col(column))
     cond = ~F.coalesce(meta["fmt"] == F.col(fmt_col), F.lit(False))
     return _image_map_check(
         index, cfg, cond, column, value=json_value(F.col(id_column))
@@ -170,7 +223,7 @@ def compile_phash_match(index, cfg, schema) -> MapCheck:
     phash_col = cfg.kwargs.get("phash_column", "phash")
     id_column = cfg.kwargs.get("id_column", "image_id")
     max_hamming = int(cfg.kwargs.get("max_hamming_distance", 0))
-    recomputed = _recomputed_phash(F.col(column))
+    recomputed = _image_features(F.col(column))["phash"]
     hamming = F.bit_count(recomputed.bitwiseXOR(F.col(phash_col)))
     cond = ~F.coalesce(hamming <= F.lit(max_hamming), F.lit(False))
     return _image_map_check(

@@ -66,6 +66,12 @@ from ..operators.checks import (
     SchemaCheck,
 )
 from ..operators.registry import get_compiler
+from .single_pass import (
+    merge_stat_rows,
+    plan_stat_partials,
+    run_single_pass,
+    violation_slice_expr,
+)
 
 
 def _considered_stat_key(consider_key: str) -> str:
@@ -87,6 +93,7 @@ class SparkValidator:
         result_format: Any = "BASIC",
         complete_cap: int = 100_000,
         catch_exceptions: bool = True,
+        strategy: str = "auto",
     ):
         self.df = df
         self.suite = suite
@@ -94,6 +101,21 @@ class SparkValidator:
         self.result_format = parse_result_format(result_format)
         self.complete_cap = complete_cap
         self.catch_exceptions = catch_exceptions
+        if strategy not in ("auto", "single_pass", "classic"):
+            raise ValueError(f"unknown strategy {strategy!r}")
+        self.strategy = strategy
+        self.phase_times: Dict[str, float] = {}
+
+    def _clock(self, phase: str, fn):
+        """Record wall time of one engine phase into phase_times
+        (exposed in suite-result meta for plan diagnostics)."""
+        t0 = time.time()
+        try:
+            return fn()
+        finally:
+            self.phase_times[phase] = round(
+                self.phase_times.get(phase, 0.0) + time.time() - t0, 3
+            )
 
     # -- public ---------------------------------------------------------------
 
@@ -134,6 +156,7 @@ class SparkValidator:
             ordered,
             meta={
                 "validation_time_s": round(time.time() - t0, 3),
+                "phase_times": dict(self.phase_times),
                 "expectation_suite_name": self.suite.name,
                 "engine": "great_expectations_spark",
             },
@@ -170,7 +193,7 @@ class SparkValidator:
                     chk.config, exc, traceback.format_exc()
                 )
 
-        # phase 1: ONE fused agg
+        # phase 1: build the fused stat-expression set
         agg_exprs: Dict[str, Any] = {}
         need_stats = bool(map_checks or agg_checks or job_checks)
         if need_stats:
@@ -195,12 +218,29 @@ class SparkValidator:
             for k, e in chk.needs.items():
                 agg_exprs.setdefault(k, e)
 
+        # strategy: the single-pass executor computes the fused stats
+        # AND the bounded violation samples in ONE per-partition agg
+        # job (payloads decode once); deferred conditions (z-score)
+        # need resolved stats first, so they force the classic plan.
+        use_single = self.strategy in ("auto", "single_pass") and not any(
+            c.deferred for c in map_checks
+        )
+
         stats: Dict[str, Any] = {}
-        if agg_exprs:
+        unexpected_lists: Optional[Dict[int, List[Any]]] = None
+        if use_single and agg_exprs:
+            stats, unexpected_lists = self._clock(
+                "single_pass",
+                lambda: self._run_single_pass(df, agg_exprs, map_checks),
+            )
+        elif agg_exprs:
             keys = list(agg_exprs)
-            row = df.agg(
-                *[agg_exprs[k].alias(f"s{i}") for i, k in enumerate(keys)]
-            ).first()
+            row = self._clock(
+                "fused_agg",
+                lambda: df.agg(
+                    *[agg_exprs[k].alias(f"s{i}") for i, k in enumerate(keys)]
+                ).first(),
+            )
             stats = {k: row[f"s{i}"] for i, k in enumerate(keys)}
             # sums over empty frames come back NULL — normalize to 0
             for k, v in stats.items():
@@ -228,8 +268,13 @@ class SparkValidator:
             for chk in deferred:
                 stats[f"unexpected:{chk.index}"] = 0
 
-        # phase 2: violations harvest — one scan for ALL map checks
-        unexpected_lists = self._harvest_violations(df, map_checks, stats)
+        # phase 2: violations harvest — already produced by the
+        # single-pass job, else one dedicated scan for ALL map checks
+        if unexpected_lists is None:
+            unexpected_lists = self._clock(
+                "harvest",
+                lambda: self._harvest_violations(df, map_checks, stats),
+            )
 
         # map-check EVRs
         for chk in map_checks:
@@ -265,7 +310,10 @@ class SparkValidator:
         cache.aux_tables = self.aux_tables
         for chk in job_checks:
             try:
-                success, result = chk.run(df, stats, cache)
+                success, result = self._clock(
+                    f"job:{chk.config.expectation_type}",
+                    lambda chk=chk: chk.run(df, stats, cache),
+                )
                 evrs[chk.index] = ExpectationValidationResult(
                     success=success, expectation_config=chk.config, result=result
                 )
@@ -275,6 +323,68 @@ class SparkValidator:
                 evrs[chk.index] = exception_result(
                     chk.config, exc, traceback.format_exc()
                 )
+
+    def _run_single_pass(
+        self, df: DataFrame, agg_exprs: Dict[str, Any], map_checks: List[MapCheck]
+    ):
+        """ONE per-partition agg job for stats + violation samples.
+
+        See plans/single_pass.py. Non-mergeable stats (countDistinct)
+        run in a leftover df.agg — Catalyst column-prunes it, so it
+        stays a cheap scalar scan that never reads payload columns.
+        """
+        partials, merges, leftover = plan_stat_partials(agg_exprs)
+
+        caps: Dict[int, int] = {}
+        violation_exprs = []
+        for chk in map_checks:
+            if chk.deferred:
+                continue
+            rf = self._rf_for(chk)
+            if rf["result_format"] == "BOOLEAN_ONLY":
+                continue
+            caps[chk.index] = self._cap_for(chk, rf)
+            cond, value = chk.build({})
+            full = (
+                (chk.consider() & cond) if chk.consider is not None else cond
+            )
+            violation_exprs.append(
+                violation_slice_expr(
+                    full, value, caps[chk.index], f"v{chk.index}"
+                )
+            )
+
+        rows = run_single_pass(df, partials, violation_exprs)
+        stats = merge_stat_rows(rows, merges)
+
+        if leftover:
+            keys = list(leftover)
+            row = self._clock(
+                "leftover_agg",
+                lambda: df.agg(
+                    *[leftover[k].alias(f"s{i}") for i, k in enumerate(keys)]
+                ).first(),
+            )
+            for i, k in enumerate(keys):
+                stats[k] = row[f"s{i}"]
+
+        # deterministic concat order across partitions, then cap
+        rows_sorted = sorted(rows, key=lambda r: r["__pid"])
+        unexpected_lists: Dict[int, List[Any]] = {}
+        for chk in map_checks:
+            cap = caps.get(chk.index)
+            if cap is None:
+                unexpected_lists[chk.index] = []
+                continue
+            merged: List[Any] = []
+            for r in rows_sorted:
+                merged.extend(r[f"v{chk.index}"] or [])
+                if len(merged) >= cap:
+                    break
+            unexpected_lists[chk.index] = [
+                chk.value_decoder(json.loads(s)) for s in merged[:cap]
+            ]
+        return stats, unexpected_lists
 
     def _harvest_violations(
         self, df: DataFrame, map_checks: List[MapCheck], stats: Dict[str, Any]
