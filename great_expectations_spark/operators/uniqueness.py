@@ -24,18 +24,31 @@ from .common import get_mostly, multi_consider
 
 def _dup_groups(df, key_cols: List[str], consider, cap: int):
     """(values..., count) rows for groups with count > 1, plus total
-    duplicated-row count; one shuffle, second tiny agg on the grouped
-    side."""
+    duplicated-row count — ONE Spark job: groupBy shuffle, then a
+    per-shuffle-partition bounded sample (slice(collect_list)) merged
+    with the totals in a final tiny agg, so memory stays
+    O(cap x shuffle partitions) and the shuffle never re-executes
+    (the old two-action form re-ran the groupBy for the sample)."""
     base = df.where(consider) if consider is not None else df
     grouped = base.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
     dups = grouped.where(F.col("__cnt") > 1)
-    total = dups.agg(
-        F.coalesce(F.sum("__cnt"), F.lit(0)).alias("s"),
-    ).first()["s"]
-    pairs = dups.limit(cap).collect()
-    return int(total), pairs
+    sample = F.struct(
+        *[F.col(c) for c in key_cols], F.col("__cnt")
+    )
+    partials = dups.groupBy(F.spark_partition_id().alias("__pid")).agg(
+        F.sum("__cnt").alias("__s"),
+        F.slice(F.collect_list(sample), 1, cap).alias("__v"),
+    )
+    rows = partials.collect()
+    total = sum(r["__s"] or 0 for r in rows)
+    pairs: List[Any] = []
+    for r in sorted(rows, key=lambda r: r["__pid"]):
+        pairs.extend(r["__v"])
+        if len(pairs) >= cap:
+            break
+    return int(total), pairs[:cap]
 
 
 def compile_values_unique(index, cfg, schema) -> JobCheck:

@@ -28,16 +28,20 @@ HEADER = struct.Struct(">4s4sHH")
 
 
 def _pixel_stream(seed: int, n: int) -> np.ndarray:
-    """xorshift64*-seeded deterministic pixel bytes."""
-    x = np.uint64(seed * 2654435761 % (2**63) + 1)
-    out = np.empty(n, dtype=np.uint8)
-    v = int(x)
-    for i in range(n):
-        v ^= (v >> 12) & 0xFFFFFFFFFFFFFFFF
-        v ^= (v << 25) & 0xFFFFFFFFFFFFFFFF
-        v ^= (v >> 27) & 0xFFFFFFFFFFFFFFFF
-        out[i] = (v * 2685821657736338717) >> 56 & 0xFF
-    return out
+    """Deterministic pixel bytes via a vectorized counter-based PRF
+    (splitmix64 finalizer over seed+index) — no sequential recurrence,
+    so generating a 10^6-image table is numpy-bound, not Python-bound."""
+    with np.errstate(over="ignore"):
+        x = (
+            np.uint64(seed * 2654435761 % (2**63) + 1)
+            + np.arange(n, dtype=np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        )
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return (x >> np.uint64(56)).astype(np.uint8)
 
 
 def encode_image(seed: int, w: int, h: int, fmt: str) -> bytes:
