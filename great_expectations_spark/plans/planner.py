@@ -82,6 +82,51 @@ def _considered_stat_key(consider_key: str) -> str:
     return f"considered:{consider_key}"
 
 
+def split_checks(checks: List[Any]):
+    """Partition compiled checks into the four execution shapes."""
+    return (
+        [c for c in checks if isinstance(c, SchemaCheck)],
+        [c for c in checks if isinstance(c, MapCheck)],
+        [c for c in checks if isinstance(c, AggCheck)],
+        [c for c in checks if isinstance(c, JobCheck)],
+    )
+
+
+def collect_agg_exprs(
+    map_checks: List[MapCheck],
+    agg_checks: List[AggCheck],
+    job_checks: List[JobCheck],
+) -> Dict[str, Any]:
+    """The suite-wide fused stat-expression set, deduped by stat key
+    (GE's metric-id dedup, validation_graph.py:92-96, done at plan
+    time). Shared by the in-process validator and the checkpoint
+    runner (checkpoint/runner.py), which persists the per-partition
+    partials of exactly these expressions as its metrics table."""
+    agg_exprs: Dict[str, Any] = {}
+    if map_checks or agg_checks or job_checks:
+        agg_exprs["table.row_count"] = F.count(F.lit(1))
+    for chk in map_checks:
+        if chk.consider is not None:
+            key = _considered_stat_key(chk.consider_key)
+            agg_exprs.setdefault(
+                key, F.sum(F.when(chk.consider(), 1).otherwise(0))
+            )
+        for k, e in chk.stat_needs.items():
+            agg_exprs.setdefault(k, e)
+        if not chk.deferred:
+            cond, _ = chk.build({})
+            full = (
+                (chk.consider() & cond) if chk.consider is not None else cond
+            )
+            agg_exprs[f"unexpected:{chk.index}"] = F.sum(
+                F.when(full, 1).otherwise(0)
+            )
+    for chk in agg_checks + job_checks:
+        for k, e in chk.needs.items():
+            agg_exprs.setdefault(k, e)
+    return agg_exprs
+
+
 class SparkValidator:
     """Validate one DataFrame batch against an ExpectationSuite."""
 
@@ -174,10 +219,9 @@ class SparkValidator:
         return max(rf["partial_unexpected_count"], 1)
 
     def _validate_domain(self, df: DataFrame, checks: List[Any], evrs) -> None:
-        schema_checks = [c for c in checks if isinstance(c, SchemaCheck)]
-        map_checks = [c for c in checks if isinstance(c, MapCheck)]
-        agg_checks = [c for c in checks if isinstance(c, AggCheck)]
-        job_checks = [c for c in checks if isinstance(c, JobCheck)]
+        schema_checks, map_checks, agg_checks, job_checks = split_checks(
+            checks
+        )
 
         # phase 0: schema checks — no Spark job
         for chk in schema_checks:
@@ -194,29 +238,7 @@ class SparkValidator:
                 )
 
         # phase 1: build the fused stat-expression set
-        agg_exprs: Dict[str, Any] = {}
-        need_stats = bool(map_checks or agg_checks or job_checks)
-        if need_stats:
-            agg_exprs["table.row_count"] = F.count(F.lit(1))
-        for chk in map_checks:
-            if chk.consider is not None:
-                key = _considered_stat_key(chk.consider_key)
-                agg_exprs.setdefault(
-                    key, F.sum(F.when(chk.consider(), 1).otherwise(0))
-                )
-            for k, e in chk.stat_needs.items():
-                agg_exprs.setdefault(k, e)
-            if not chk.deferred:
-                cond, _ = chk.build({})
-                full = (
-                    (chk.consider() & cond) if chk.consider is not None else cond
-                )
-                agg_exprs[f"unexpected:{chk.index}"] = F.sum(
-                    F.when(full, 1).otherwise(0)
-                )
-        for chk in agg_checks + job_checks:
-            for k, e in chk.needs.items():
-                agg_exprs.setdefault(k, e)
+        agg_exprs = collect_agg_exprs(map_checks, agg_checks, job_checks)
 
         # strategy: the single-pass executor computes the fused stats
         # AND the bounded violation samples in ONE per-partition agg

@@ -1,0 +1,139 @@
+"""Checkpointed-run semantics: result parity with in-process
+validation, group-grained resume (completed groups are never
+recomputed), snapshot pinning, and lineage/metrics outputs."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import great_expectations_spark as ges
+from great_expectations_spark.checkpoint import CheckpointRunner
+from great_expectations_spark.data.images import images_df
+
+
+def make_table(spark, tmp_path, n=3000, seed=42):
+    path = str(tmp_path / "images")
+    images_df(spark, n_rows=n, seed=seed).write.mode("overwrite").partitionBy(
+        "fmt"
+    ).parquet(path)
+    return path
+
+
+def the_suite():
+    return (
+        ges.suite("ckpt")
+        .expect("expect_column_values_to_not_be_null", column="caption",
+                mostly=0.99)
+        .expect("expect_column_values_to_be_in_set", column="fmt",
+                value_set=["jpeg", "png", "webp"], mostly=0.99)
+        .expect("expect_column_mean_to_be_between", column="w",
+                min_value=8, max_value=40)
+        .expect("expect_column_stdev_to_be_between", column="h",
+                min_value=0, max_value=100)
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="fmt", min_value=1, max_value=10)
+        .expect("expect_column_values_to_be_unique", column="image_id",
+                mostly=0.99)
+        .expect("expect_image_phash_to_match", column="bytes",
+                max_hamming_distance=0, mostly=0.95)
+    )
+
+
+def test_checkpoint_matches_inprocess_validation(spark, tmp_path):
+    path = make_table(spark, tmp_path)
+    df = spark.read.parquet(path)
+    expected = ges.validate(df, the_suite(), result_format="SUMMARY")
+
+    runner = CheckpointRunner(
+        spark, path, the_suite(), str(tmp_path / "state"), "r1",
+        group_col="fmt",
+    )
+    got = runner.run()
+
+    assert got.success == expected.success
+    for e, g in zip(expected.results, got.results):
+        typ = e.expectation_config.expectation_type
+        assert e.success == g.success, typ
+        er, gr = e.result or {}, g.result or {}
+        for k in ("element_count", "unexpected_count"):
+            if k in er:
+                assert er[k] == gr[k], (typ, k)
+        if "observed_value" in er and isinstance(
+            er["observed_value"], float
+        ):
+            assert gr["observed_value"] == pytest.approx(
+                er["observed_value"], rel=1e-9
+            ), typ
+    # jpeg/png/webp plus the injected out-of-set 'tiff' defect rows
+    assert got.meta["groups_total"] >= 3
+
+
+def test_checkpoint_resume_skips_done_groups(spark, tmp_path):
+    path = make_table(spark, tmp_path)
+    state = str(tmp_path / "state")
+    r1 = CheckpointRunner(
+        spark, path, the_suite(), state, "r2", group_col="fmt"
+    )
+    first = r1.run()
+    assert first.meta["groups_computed"] > 0
+    assert first.meta["groups_resumed"] == 0
+
+    # resume in a fresh runner: every group must be skipped
+    r2 = CheckpointRunner(
+        spark, path, the_suite(), state, "r2", group_col="fmt"
+    )
+    r2._run_group = None  # would TypeError if any group recomputed
+    second = r2.run()
+    assert second.meta["groups_computed"] == 0
+    assert second.meta["groups_resumed"] == first.meta["groups_total"]
+    assert second.success == first.success
+
+    # partial resume: drop ONE group's committed state
+    files = sorted(os.listdir(os.path.join(state, "run=r2", "groups")))
+    os.remove(os.path.join(state, "run=r2", "groups", files[0]))
+    r3 = CheckpointRunner(
+        spark, path, the_suite(), state, "r2", group_col="fmt"
+    )
+    third = r3.run()
+    assert third.meta["groups_computed"] == 1
+    assert third.meta["groups_resumed"] == first.meta["groups_total"] - 1
+    # merged result identical after the partial recompute
+    assert [r.success for r in third.results] == [
+        r.success for r in first.results
+    ]
+
+
+def test_checkpoint_rejects_changed_snapshot(spark, tmp_path):
+    path = make_table(spark, tmp_path, n=1000)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "r3", group_col="fmt"
+    ).run()
+    # mutate the input table -> resumed run must refuse
+    images_df(spark, n_rows=1200, seed=43).write.mode(
+        "overwrite"
+    ).partitionBy("fmt").parquet(path)
+    with pytest.raises(RuntimeError, match="snapshot changed"):
+        CheckpointRunner(
+            spark, path, the_suite(), state, "r3", group_col="fmt"
+        ).run()
+
+
+def test_checkpoint_outputs(spark, tmp_path):
+    path = make_table(spark, tmp_path, n=1000)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "r4", group_col="fmt"
+    ).run()
+    run_dir = os.path.join(state, "run=r4")
+    lineage = spark.read.parquet(os.path.join(run_dir, "lineage.parquet"))
+    assert lineage.count() >= 3
+    assert set(lineage.columns) >= {"run_id", "group", "status", "duration_s"}
+    assert lineage.where(F.col("status") != "done").count() == 0
+    metrics = spark.read.parquet(os.path.join(run_dir, "metrics.parquet"))
+    assert metrics.where(F.col("metric") == "p0").count() > 0
+    with open(os.path.join(run_dir, "result.json")) as f:
+        res = json.load(f)
+    assert "statistics" in res and res["statistics"]["evaluated_expectations"] == 7
