@@ -114,6 +114,68 @@ def ks_p_value(d_stat: float, n: int) -> float:
     return kolmogorov_sf(lam)
 
 
+def dist_cdf(distribution: str, params: dict, x: float) -> float:
+    """CDF of a named parametric distribution (scipy-free subset:
+    norm / uniform / expon / lognorm), using scipy's loc/scale
+    parameterization so suite kwargs are portable."""
+    loc = float(params.get("loc", 0.0))
+    scale = float(params.get("scale", 1.0))
+    if scale <= 0:
+        raise ValueError("scale must be positive")
+    if distribution == "norm":
+        return 0.5 * (1.0 + math.erf((x - loc) / (scale * math.sqrt(2.0))))
+    if distribution == "uniform":
+        if x < loc:
+            return 0.0
+        if x > loc + scale:
+            return 1.0
+        return (x - loc) / scale
+    if distribution == "expon":
+        if x < loc:
+            return 0.0
+        return 1.0 - math.exp(-(x - loc) / scale)
+    if distribution == "lognorm":
+        s = float(params.get("s", params.get("shape", 1.0)))
+        if x <= loc:
+            return 0.0
+        return 0.5 * (
+            1.0 + math.erf(math.log((x - loc) / scale) / (s * math.sqrt(2.0)))
+        )
+    raise ValueError(
+        f"unsupported distribution {distribution!r}; "
+        "supported: norm, uniform, expon, lognorm"
+    )
+
+
+def cramers_v(
+    crosstab: Sequence[Sequence[float]], n: int
+) -> "tuple[float, float]":
+    """(chi2_stat, Cramér's V) from a contingency table; Yates
+    continuity correction applied for 2x2 tables (matching
+    scipy.stats.chi2_contingency's default, which the reference uses
+    at dataset.py:4432-4441)."""
+    rows = len(crosstab)
+    cols = len(crosstab[0]) if rows else 0
+    if rows < 2 or cols < 2 or n <= 0:
+        return 0.0, 0.0
+    row_tot = [sum(r) for r in crosstab]
+    col_tot = [sum(r[j] for r in crosstab) for j in range(cols)]
+    total = float(sum(row_tot)) or 1.0
+    yates = rows == 2 and cols == 2
+    chi2 = 0.0
+    for i in range(rows):
+        for j in range(cols):
+            e = row_tot[i] * col_tot[j] / total
+            if e == 0:
+                continue
+            diff = abs(crosstab[i][j] - e)
+            if yates:
+                diff = max(diff - 0.5, 0.0)
+            chi2 += diff * diff / e
+    v = math.sqrt(chi2 / n / (min(rows, cols) - 1))
+    return chi2, max(min(v, 1.0), 0.0)
+
+
 def psi(pk: Sequence[float], qk: Sequence[float], eps: float = 1e-6) -> float:
     """Population stability index with epsilon smoothing."""
     total_p = float(sum(pk)) or 1.0

@@ -27,7 +27,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from ..functions.stats_math import chi2_sf, kl_divergence, ks_p_value, psi
+from ..functions.stats_math import (
+    chi2_sf,
+    cramers_v,
+    dist_cdf,
+    kl_divergence,
+    ks_p_value,
+    psi,
+)
 from .checks import JobCheck, MetricCache
 
 
@@ -454,9 +461,114 @@ def compile_psi_less_than(index, cfg, schema) -> JobCheck:
     return JobCheck(index=index, config=cfg, run=run)
 
 
+def compile_parameterized_ks_p_value(index, cfg, schema) -> JobCheck:
+    """expect_column_parameterized_distribution_ks_test_p_value_to_be_
+    greater_than — Pandas-only in the reference (scipy.stats.kstest,
+    column_parameterized_distribution_ks_test_p_value.py:29-54). The
+    Spark-first variant evaluates the empirical CDF on an exact
+    quantile grid (one approxQuantile job at rel_err=0; at 10^12 rows
+    a small rel_err bounds the added D error by rel_err) and takes the
+    sup-difference against the parametric CDF (scipy-free
+    stats_math.dist_cdf), with the asymptotic Kolmogorov p-value."""
+    column = cfg.kwargs["column"]
+    distribution = cfg.kwargs["distribution"]
+    p_threshold = cfg.kwargs.get("p_value", 0.05)
+    params = cfg.kwargs.get("params") or {}
+    if isinstance(params, (list, tuple)):
+        # scipy positional convention: (loc, scale) or (shape, loc, scale)
+        names = (
+            ["loc", "scale"] if len(params) == 2 else ["s", "loc", "scale"]
+        )
+        params = dict(zip(names, params))
+    grid_points = int(cfg.kwargs.get("grid_points", 200))
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        nonnull = cache.between_count(column, None, None)
+        if nonnull == 0:
+            return True, {"observed_value": None}
+        m = min(grid_points, max(nonnull, 1))
+        qs = [(k + 1) / (m + 1) for k in range(m)]
+        values = cache.quantiles(column, qs, 0.0)
+        d_stat = 0.0
+        for q, x in zip(qs, values):
+            cdf = dist_cdf(distribution, params, x)
+            d_stat = max(d_stat, abs(q - cdf))
+        p_value = ks_p_value(d_stat, nonnull)
+        return p_value > p_threshold, {
+            "observed_value": p_value,
+            "details": {
+                "ks_statistic": d_stat,
+                "distribution": distribution,
+                "params": params,
+            },
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
+def compile_cramers_phi_less_than(index, cfg, schema) -> JobCheck:
+    """expect_column_pair_cramers_phi_value_to_be_less_than — Pandas-
+    only in the reference (dataset.py:4379-4450: pandas crosstab +
+    scipy chi2_contingency). Spark-first: the contingency table is a
+    groupBy(A, B).count() (two-phase hash agg), Cramér's V from the
+    scipy-free chi2 (stats_math.cramers_v, Yates-corrected for 2x2
+    like scipy's default); success = V <= threshold."""
+    col_a = cfg.kwargs["column_A"]
+    col_b = cfg.kwargs["column_B"]
+    threshold = cfg.kwargs.get("threshold", 0.1)
+    max_cells = int(cfg.kwargs.get("max_cells", 10_000))
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        pairs = (
+            df.where(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+            .groupBy(col_a, col_b)
+            .count()
+            .limit(max_cells + 1)
+            .collect()
+        )
+        if len(pairs) > max_cells:
+            raise ValueError(
+                f"contingency table exceeds max_cells={max_cells}; "
+                "bin the columns first"
+            )
+        if not pairs:
+            return True, {"observed_value": None}
+        a_vals = sorted({r[0] for r in pairs}, key=str)
+        b_vals = sorted({r[1] for r in pairs}, key=str)
+        a_idx = {v: i for i, v in enumerate(a_vals)}
+        b_idx = {v: i for i, v in enumerate(b_vals)}
+        table = [[0.0] * len(b_vals) for _ in a_vals]
+        n = 0
+        for r in pairs:
+            table[a_idx[r[0]]][b_idx[r[1]]] = float(r[2])
+            n += r[2]
+        # ref divides by get_row_count() (the full table count)
+        total_rows = stats.get("table.row_count") or n
+        _, v = cramers_v(table, total_rows)
+        return v <= threshold, {
+            "observed_value": v,
+            "details": {
+                "crosstab": {
+                    "index": [str(x) for x in a_vals],
+                    "columns": [str(x) for x in b_vals],
+                    "values": table,
+                }
+            },
+        }
+
+    return JobCheck(
+        index=index,
+        config=cfg,
+        needs={"table.row_count": F.count(F.lit(1))},
+        run=run,
+    )
+
+
 DISTRIBUTION_COMPILERS = {
     "expect_column_kl_divergence_to_be_less_than": compile_kl_divergence,
     "expect_column_chisquare_test_p_value_to_be_greater_than": compile_chisquare_p_value,
     "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than": compile_ks_p_value,
+    "expect_column_parameterized_distribution_ks_test_p_value_to_be_greater_than": compile_parameterized_ks_p_value,
+    "expect_column_pair_cramers_phi_value_to_be_less_than": compile_cramers_phi_less_than,
     "expect_column_psi_to_be_less_than": compile_psi_less_than,
 }

@@ -171,4 +171,9 @@ def compile_compound_unique(index, cfg, schema) -> JobCheck:
 UNIQUE_COMPILERS = {
     "expect_column_values_to_be_unique": compile_values_unique,
     "expect_compound_columns_to_be_unique": compile_compound_unique,
+    # "unique together" with all duplicate instances failed — identical
+    # evaluation to the compound check
+    # (ref expect_multicolumn_values_to_be_unique.py: ColumnMapExpectation
+    # over column_list; ours shares the two-phase hash-agg plan)
+    "expect_multicolumn_values_to_be_unique": compile_compound_unique,
 }

@@ -1,0 +1,239 @@
+"""Table profiling → baseline.json → auto-generated expectation suite.
+
+Replicates the CONCEPT of the reference's onboarding DataAssistant
+(rule_based_profiler/data_assistant/onboarding_data_assistant.py:
+46-476 — emit min/max/between/uniqueness/nullness expectations from
+profiled metric estimates) without its rule machinery: one fused
+profiling pass produces a per-column baseline (stats + GE-schema
+partition objects, execution_engine/util.py:77-192), which
+
+  * drift checks consume directly (KL / PSI / KS take
+    ``partition_object=baseline["columns"][col]["partition"]``), and
+  * ``suite_from_baseline`` turns into a ready-to-run suite.
+
+Scale shape: ONE df.agg for every numeric/string stat across all
+columns (min/max/mean/stddev/nonnull/approx-distinct fused), ONE
+multi-column approxQuantile job for all numeric bins, and per-column
+value_counts jobs ONLY for columns the fused pass showed to be
+low-cardinality. Payload (binary) columns are profiled by length, not
+content, so the profiling pass never decodes images.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .operators.distribution import (
+    build_categorical_partition_object,
+)
+from .core.config import ExpectationSuite
+
+_NUMERIC = (
+    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+    T.FloatType, T.DoubleType, T.DecimalType,
+)
+_CATEGORICAL_MAX_DISTINCT = 50
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[List[str]] = None,
+    n_bins: int = 10,
+    quantile_rel_err: float = 0.001,
+) -> Dict[str, Any]:
+    """Profile a DataFrame into a baseline dict (JSON-serializable)."""
+    fields = [
+        f for f in df.schema.fields if columns is None or f.name in columns
+    ]
+
+    # ---- pass 1: ONE fused agg over every column --------------------
+    exprs = [F.count(F.lit(1)).alias("__n")]
+    for f in fields:
+        c = F.col(f.name)
+        a = f.name
+        exprs.append(
+            F.sum(F.when(c.isNotNull(), 1).otherwise(0)).alias(f"nn:{a}")
+        )
+        exprs.append(F.approx_count_distinct(c).alias(f"ad:{a}"))
+        if isinstance(f.dataType, _NUMERIC):
+            exprs.extend(
+                [
+                    F.min(c).alias(f"min:{a}"),
+                    F.max(c).alias(f"max:{a}"),
+                    F.avg(c).alias(f"mean:{a}"),
+                    F.stddev_samp(c).alias(f"std:{a}"),
+                ]
+            )
+        elif isinstance(f.dataType, T.StringType):
+            exprs.extend(
+                [
+                    F.min(F.length(c)).alias(f"lmin:{a}"),
+                    F.max(F.length(c)).alias(f"lmax:{a}"),
+                ]
+            )
+        elif isinstance(f.dataType, T.BinaryType):
+            exprs.extend(
+                [
+                    F.min(F.length(c)).alias(f"lmin:{a}"),
+                    F.max(F.length(c)).alias(f"lmax:{a}"),
+                    F.avg(F.length(c)).alias(f"lmean:{a}"),
+                ]
+            )
+    row = df.agg(*exprs).first()
+    n = row["__n"]
+
+    # ---- pass 2: ONE multi-column quantile job for numeric bins -----
+    num_cols = [f.name for f in fields if isinstance(f.dataType, _NUMERIC)]
+    qs = [i / n_bins for i in range(n_bins + 1)]
+    edges_by_col: Dict[str, List[float]] = {}
+    if num_cols and n > 0:
+        all_edges = df.approxQuantile(num_cols, qs, quantile_rel_err)
+        edges_by_col = dict(zip(num_cols, all_edges))
+
+    # ---- pass 3: value_counts only where pass 1 showed low card -----
+    baseline: Dict[str, Any] = {
+        "profiled_at": time.time(),
+        "row_count": n,
+        "columns": {},
+    }
+    for f in fields:
+        a = f.name
+        nonnull = row[f"nn:{a}"] or 0
+        col_info: Dict[str, Any] = {
+            "type": type(f.dataType).__name__,
+            "nonnull": nonnull,
+            "null_fraction": (1 - nonnull / n) if n else 0.0,
+            "approx_distinct": int(row[f"ad:{a}"] or 0),
+        }
+        if isinstance(f.dataType, _NUMERIC):
+            col_info.update(
+                {
+                    "min": row[f"min:{a}"],
+                    "max": row[f"max:{a}"],
+                    "mean": row[f"mean:{a}"],
+                    "stddev": row[f"std:{a}"],
+                }
+            )
+            edges = edges_by_col.get(a) or []
+            bins: List[float] = []
+            for e in edges:
+                if e is not None and (not bins or e > bins[-1]):
+                    bins.append(float(e))
+            if len(bins) >= 2 and nonnull:
+                hist_exprs = []
+                for i in range(len(bins) - 1):
+                    lo, hi = bins[i], bins[i + 1]
+                    c = F.col(a)
+                    cond = (c >= F.lit(lo)) & (
+                        (c <= F.lit(hi))
+                        if i == len(bins) - 2
+                        else (c < F.lit(hi))
+                    )
+                    hist_exprs.append(
+                        F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i}")
+                    )
+                hrow = df.agg(*hist_exprs).first()
+                weights = [
+                    (hrow[f"b{i}"] or 0) / nonnull
+                    for i in range(len(bins) - 1)
+                ]
+                tail = max(0.0, (1.0 - sum(weights)) / 2.0)
+                col_info["partition"] = {
+                    "bins": bins,
+                    "weights": weights,
+                    "tail_weights": [tail, tail],
+                }
+        elif isinstance(f.dataType, T.StringType):
+            col_info["len_min"] = row[f"lmin:{a}"]
+            col_info["len_max"] = row[f"lmax:{a}"]
+            if 0 < col_info["approx_distinct"] <= _CATEGORICAL_MAX_DISTINCT:
+                col_info["partition"] = build_categorical_partition_object(
+                    df, a
+                )
+        elif isinstance(f.dataType, T.BinaryType):
+            col_info["len_min"] = row[f"lmin:{a}"]
+            col_info["len_max"] = row[f"lmax:{a}"]
+            col_info["len_mean"] = row[f"lmean:{a}"]
+        baseline["columns"][a] = col_info
+    return baseline
+
+
+def save_baseline(baseline: Dict[str, Any], path: str) -> None:
+    with open(path, "w") as f:
+        json.dump(baseline, f, indent=2, default=str)
+
+
+def load_baseline(path: str) -> Dict[str, Any]:
+    with open(path) as f:
+        return json.load(f)
+
+
+def suite_from_baseline(
+    baseline: Dict[str, Any],
+    name: str = "profiled",
+    null_margin: float = 0.01,
+    range_margin: float = 0.1,
+    drift: str = "psi",
+    drift_threshold: float = 0.2,
+) -> ExpectationSuite:
+    """Generate a suite from a baseline: nullness with observed+margin
+    `mostly`, min/max with a relative margin, uniqueness when the
+    profile says values were unique, set membership for low-cardinality
+    strings, and a drift check against each profiled partition."""
+    suite = ExpectationSuite(name=name)
+    n = baseline.get("row_count", 0)
+    for col, info in baseline["columns"].items():
+        nf = info.get("null_fraction", 0.0)
+        if nf == 0:
+            suite.expect("expect_column_values_to_not_be_null", column=col)
+        elif nf < 0.5:
+            suite.expect(
+                "expect_column_values_to_not_be_null",
+                column=col,
+                mostly=max(0.0, round(1 - nf - null_margin, 4)),
+            )
+        if "min" in info and info["min"] is not None:
+            lo, hi = float(info["min"]), float(info["max"])
+            span = (hi - lo) or abs(lo) or 1.0
+            suite.expect(
+                "expect_column_values_to_be_between",
+                column=col,
+                min_value=lo - range_margin * span,
+                max_value=hi + range_margin * span,
+            )
+        if (
+            n
+            and info.get("nonnull")
+            and info.get("approx_distinct", 0) >= 0.98 * info["nonnull"]
+            and info["nonnull"] >= 0.5 * n
+        ):
+            suite.expect(
+                "expect_column_values_to_be_unique", column=col, mostly=0.98
+            )
+        part = info.get("partition")
+        if part and "values" in part:
+            suite.expect(
+                "expect_column_values_to_be_in_set",
+                column=col,
+                value_set=list(part["values"]),
+                mostly=0.99,
+            )
+        if part:
+            expectation = (
+                "expect_column_psi_to_be_less_than"
+                if drift == "psi"
+                else "expect_column_kl_divergence_to_be_less_than"
+            )
+            suite.expect(
+                expectation,
+                column=col,
+                partition_object=part,
+                threshold=drift_threshold,
+            )
+    return suite
