@@ -149,6 +149,25 @@ def validate_metric_value_between(
         except (TypeError, ValueError):
             pass
 
+    # temporal metric vs string bounds: parse the bounds so the
+    # comparison is temporal (ref compares after parse; a raw
+    # datetime>str comparison would TypeError)
+    if isinstance(metric_value, (datetime.datetime, datetime.date)):
+        from dateutil.parser import parse as _parse_dt
+
+        def _coerce(b):
+            if isinstance(b, str):
+                parsed = _parse_dt(b)
+                if isinstance(
+                    metric_value, datetime.date
+                ) and not isinstance(metric_value, datetime.datetime):
+                    return parsed.date()
+                return parsed
+            return b
+
+        min_value = _coerce(min_value)
+        max_value = _coerce(max_value)
+
     if min_value is not None:
         above = metric_value > min_value if strict_min else metric_value >= min_value
     else:

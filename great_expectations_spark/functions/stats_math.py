@@ -114,12 +114,83 @@ def ks_p_value(d_stat: float, n: int) -> float:
     return kolmogorov_sf(lam)
 
 
+def gammainc_lower(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x)."""
+    return 1.0 - gammainc_upper(a, x)
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the incomplete beta function (modified
+    Lentz; standard numerical-methods formulation)."""
+    tiny = 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < tiny:
+        d = tiny
+    d = 1.0 / d
+    h = d
+    for m in range(1, 300):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < tiny:
+            d = tiny
+        c = 1.0 + aa / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return h
+
+
+def betainc_reg(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    if x <= 0:
+        return 0.0
+    if x >= 1:
+        return 1.0
+    ln_front = (
+        math.lgamma(a + b)
+        - math.lgamma(a)
+        - math.lgamma(b)
+        + a * math.log(x)
+        + b * math.log(1.0 - x)
+    )
+    front = math.exp(ln_front)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return front * _betacf(a, b, x) / a
+    return 1.0 - front * _betacf(b, a, 1.0 - x) / b
+
+
 def dist_cdf(distribution: str, params: dict, x: float) -> float:
     """CDF of a named parametric distribution (scipy-free subset:
     norm / uniform / expon / lognorm), using scipy's loc/scale
     parameterization so suite kwargs are portable."""
+    # accept both scipy names (loc/scale/a/b/s/df) and the reference's
+    # dict conventions (dataset/util.py:374-410: mean/std_dev for norm,
+    # min/max for uniform — max is the scipy SCALE, i.e. the width —
+    # alpha/beta for beta, alpha for gamma)
     loc = float(params.get("loc", 0.0))
     scale = float(params.get("scale", 1.0))
+    if distribution == "norm":
+        loc = float(params.get("mean", loc))
+        scale = float(params.get("std_dev", scale))
+    elif distribution == "uniform" and "min" in params:
+        loc = float(params["min"])
+        scale = float(params.get("max", scale))
     if scale <= 0:
         raise ValueError("scale must be positive")
     if distribution == "norm":
@@ -141,10 +212,38 @@ def dist_cdf(distribution: str, params: dict, x: float) -> float:
         return 0.5 * (
             1.0 + math.erf(math.log((x - loc) / scale) / (s * math.sqrt(2.0)))
         )
+    if distribution == "gamma":
+        a = float(params.get("alpha", params.get("a", 1.0)))
+        if x <= loc:
+            return 0.0
+        return gammainc_lower(a, (x - loc) / scale)
+    if distribution == "chi2":
+        df = float(params.get("df", 1.0))
+        if x <= loc:
+            return 0.0
+        return gammainc_lower(df / 2.0, (x - loc) / (2.0 * scale))
+    if distribution == "beta":
+        a = float(params.get("alpha", params.get("a", 1.0)))
+        b = float(params.get("beta", params.get("b", 1.0)))
+        z = (x - loc) / scale
+        return betainc_reg(a, b, min(max(z, 0.0), 1.0))
     raise ValueError(
         f"unsupported distribution {distribution!r}; "
-        "supported: norm, uniform, expon, lognorm"
+        "supported: norm, uniform, expon, lognorm, gamma, chi2, beta"
     )
+
+
+# scipy positional-args conventions per distribution, so suites may
+# pass params as a tuple exactly like scipy.stats.<dist>.cdf
+DIST_POSITIONAL = {
+    "norm": ["loc", "scale"],
+    "uniform": ["loc", "scale"],
+    "expon": ["loc", "scale"],
+    "lognorm": ["s", "loc", "scale"],
+    "gamma": ["a", "loc", "scale"],
+    "chi2": ["df", "loc", "scale"],
+    "beta": ["a", "b", "loc", "scale"],
+}
 
 
 def cramers_v(

@@ -304,6 +304,14 @@ def compile_kl_divergence(index, cfg, schema) -> JobCheck:
                 po = build_categorical_partition_object(df, column)
         if not is_valid_partition_object(po):
             raise ValueError("Invalid partition object.")
+        if not 0 <= tail_weight_holdout <= 1:
+            raise ValueError(
+                "tail_weight_holdout must be between zero and one."
+            )
+        if not 0 <= internal_weight_holdout <= 1:
+            raise ValueError(
+                "internal_weight_holdout must be between zero and one."
+            )
         if threshold is not None and (
             not isinstance(threshold, (int, float)) or threshold < 0
         ):
@@ -377,49 +385,94 @@ def compile_chisquare_p_value(index, cfg, schema) -> JobCheck:
 
 
 def compile_ks_p_value(index, cfg, schema) -> JobCheck:
-    """Binned-CDF KS test vs a continuous partition object. The
-    reference's version is Pandas-only (scipy bootstrap,
-    column_bootstrapped_ks_test_p_value.py:29-33); this is the
-    documented scale-path variant: empirical CDF evaluated at the
-    partition's bin edges (fused range-count aggregates), sup-diff vs
-    the expected CDF, asymptotic Kolmogorov p-value."""
+    """expect_column_bootstrapped_ks_test_p_value_to_be_greater_than.
+
+    Pandas-only in the reference (scipy bootstrap, dataset/
+    pandas_dataset.py:1627-1760). Spark-first reproduction of the SAME
+    statistic: the partition CDF is linearly interpolated over the
+    bins, B bootstrap draws of size m (default 2 x n_weights, ~20)
+    are taken from a bounded uniform sample of the column (at 10^12
+    rows the driver sample is statistically equivalent to drawing from
+    the full column since m is tiny), each draw's one-sample KS
+    p-value is computed (Stephens asymptotic), and the observed value
+    is the bootstrap fraction (1 + #{p_i >= p}) / (B + 1)."""
     column = cfg.kwargs["column"]
     po = cfg.kwargs["partition_object"]
     p_threshold = cfg.kwargs.get("p", 0.05)
+    bootstrap_samples = cfg.kwargs.get("bootstrap_samples") or 1000
+    bootstrap_sample_size = cfg.kwargs.get("bootstrap_sample_size")
+    sample_cap = int(cfg.kwargs.get("driver_sample_cap", 50_000))
+    seed = int(cfg.kwargs.get("seed", 42))
 
     def run(df, stats: Dict[str, Any], cache: MetricCache):
         if not is_valid_continuous_partition_object(po):
             raise ValueError("Invalid partition object.")
         bins = list(po["bins"])
-        weights = list(po["weights"])
-        left_tail = po.get("tail_weights", [0.0, 0.0])[0]
+        if math.isinf(bins[0]) or math.isinf(bins[-1]):
+            raise ValueError("Partition endpoints must be finite.")
+        if "tail_weights" in po and sum(po["tail_weights"]) > 0:
+            raise ValueError(
+                "Partition cannot have tail weights -- endpoints must be finite."
+            )
         nonnull = cache.between_count(column, None, None)
         if nonnull == 0:
             return True, {"observed_value": None}
-        expected_cdf = []
-        acc = left_tail
-        for w in weights:
-            acc += w
-            expected_cdf.append(acc)
-        d_stat = 0.0
-        observed_cdf = []
-        for edge, ecdf in zip(bins[1:], expected_cdf):
-            if math.isinf(edge):
-                ocdf = 1.0
-            else:
-                cnt = cache.between_count(
-                    column, None, edge, min_strict=False, max_strict=False
-                )
-                ocdf = cnt / nonnull
-            observed_cdf.append(ocdf)
-            d_stat = max(d_stat, abs(ocdf - ecdf))
-        p_value = ks_p_value(d_stat, nonnull)
-        return p_value > p_threshold, {
-            "observed_value": p_value,
+
+        # bounded driver sample (full collect below the cap)
+        col_df = df.select(column).where(F.col(column).isNotNull())
+        if nonnull > sample_cap:
+            col_df = col_df.sample(
+                fraction=min(1.0, (1.2 * sample_cap) / nonnull), seed=seed
+            ).limit(sample_cap)
+        values = np.array([r[0] for r in col_df.collect()], dtype=float)
+
+        test_cdf = np.append([0.0], np.cumsum(po["weights"]))
+
+        m = bootstrap_sample_size or 2 * len(po["weights"])
+        rng = np.random.default_rng(seed)
+        p_values = []
+        for _ in range(int(bootstrap_samples)):
+            draw = np.sort(rng.choice(values, size=int(m)))
+            cdf = np.interp(draw, bins, test_cdf)
+            n = len(draw)
+            upper = np.arange(1, n + 1) / n - cdf
+            lower = cdf - np.arange(0, n) / n
+            d = float(max(upper.max(), lower.max(), 0.0))
+            p_values.append(ks_p_value(d, n))
+        observed = (1 + sum(pv >= p_threshold for pv in p_values)) / (
+            int(bootstrap_samples) + 1
+        )
+
+        # observed partition expanded to the data range (ref shape)
+        hist = cache.histogram(column, bins)
+        below = cache.between_count(
+            column, None, bins[0], min_strict=False, max_strict=True
+        )
+        above = cache.between_count(
+            column, bins[-1], None, min_strict=True, max_strict=False
+        )
+        obs_bins = list(bins)
+        obs_weights = [h / nonnull for h in hist]
+        if below > 0:
+            obs_bins = [float(values.min())] + obs_bins
+            obs_weights = [below / nonnull] + obs_weights
+        if above > 0:
+            obs_bins = obs_bins + [float(values.max())]
+            obs_weights = obs_weights + [above / nonnull]
+
+        return observed > p_threshold, {
+            "observed_value": observed,
             "details": {
-                "ks_statistic": d_stat,
-                "observed_cdf": observed_cdf,
-                "expected_cdf": expected_cdf,
+                "bootstrap_samples": int(bootstrap_samples),
+                "bootstrap_sample_size": int(m),
+                "observed_partition": {
+                    "bins": obs_bins,
+                    "weights": obs_weights,
+                },
+                "expected_partition": {
+                    "bins": bins,
+                    "weights": list(po["weights"]),
+                },
             },
         }
 
@@ -470,29 +523,47 @@ def compile_parameterized_ks_p_value(index, cfg, schema) -> JobCheck:
     a small rel_err bounds the added D error by rel_err) and takes the
     sup-difference against the parametric CDF (scipy-free
     stats_math.dist_cdf), with the asymptotic Kolmogorov p-value."""
+    from ..functions.stats_math import DIST_POSITIONAL
+
     column = cfg.kwargs["column"]
     distribution = cfg.kwargs["distribution"]
     p_threshold = cfg.kwargs.get("p_value", 0.05)
     params = cfg.kwargs.get("params") or {}
     if isinstance(params, (list, tuple)):
-        # scipy positional convention: (loc, scale) or (shape, loc, scale)
-        names = (
-            ["loc", "scale"] if len(params) == 2 else ["s", "loc", "scale"]
-        )
+        names = DIST_POSITIONAL.get(distribution, ["loc", "scale"])
         params = dict(zip(names, params))
     grid_points = int(cfg.kwargs.get("grid_points", 200))
+    # up to this many rows, compute the textbook exact D over the
+    # sorted sample; beyond it, a quantile grid bounds the error by
+    # ~1/grid_points + quantile rel_err (the 10^12-row path)
+    exact_cap = int(cfg.kwargs.get("exact_sample_cap", 65536))
 
     def run(df, stats: Dict[str, Any], cache: MetricCache):
         nonnull = cache.between_count(column, None, None)
         if nonnull == 0:
             return True, {"observed_value": None}
-        m = min(grid_points, max(nonnull, 1))
-        qs = [(k + 1) / (m + 1) for k in range(m)]
-        values = cache.quantiles(column, qs, 0.0)
         d_stat = 0.0
-        for q, x in zip(qs, values):
-            cdf = dist_cdf(distribution, params, x)
-            d_stat = max(d_stat, abs(q - cdf))
+        if nonnull <= exact_cap:
+            values = [
+                r[0]
+                for r in df.select(column)
+                .where(F.col(column).isNotNull())
+                .orderBy(column)
+                .collect()
+            ]
+            n = len(values)
+            for i, x in enumerate(values):
+                cdf = dist_cdf(distribution, params, float(x))
+                d_stat = max(
+                    d_stat, abs((i + 1) / n - cdf), abs(i / n - cdf)
+                )
+        else:
+            m = grid_points
+            qs = [(k + 1) / (m + 1) for k in range(m)]
+            values = cache.quantiles(column, qs, 1.0 / (4 * m))
+            for q, x in zip(qs, values):
+                cdf = dist_cdf(distribution, params, float(x))
+                d_stat = max(d_stat, abs(q - cdf))
         p_value = ks_p_value(d_stat, nonnull)
         return p_value > p_threshold, {
             "observed_value": p_value,

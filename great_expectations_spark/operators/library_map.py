@@ -20,7 +20,12 @@ from typing import Any, Callable, Dict, List, Tuple
 import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
+from pyspark.sql.types import (
+    BooleanType,
+    DateType,
+    StringType,
+    TimestampType,
+)
 
 from ..core.config import ExpectationConfiguration
 from ..functions.minijsonschema import validates as _json_schema_validates
@@ -125,6 +130,14 @@ def compile_not_be_in_set(index, cfg, schema) -> MapCheck:
     """~col.isin(value_set) (column_values_not_in_set.py:82-103)."""
     column = cfg.kwargs["column"]
     value_set = cfg.kwargs.get("value_set") or []
+    if any(v is None for v in value_set):
+        # ref parity: isin(None) is three-valued NULL on the JVM, so
+        # the check would silently never match (column_values_not_in_set
+        # Spark branch raises the same error)
+        raise ValueError(
+            "expect_column_values_to_not_be_in_set cannot support a None "
+            "in the value_set in spark"
+        )
     col = F.col(column)
     cond = col.isin(list(value_set)) if value_set else F.lit(False)
     return _column_map_check(index, cfg, cond, column)
@@ -148,10 +161,26 @@ def _between_expected(
 
 def compile_be_between(index, cfg, schema) -> MapCheck:
     column = cfg.kwargs["column"]
+    min_value = cfg.kwargs.get("min_value")
+    max_value = cfg.kwargs.get("max_value")
+    # parse_strings_as_datetimes (and plain string bounds against a
+    # temporal column): bounds become datetime literals so the JVM
+    # comparison is temporal, not a failed string cast
+    # (ref expect_column_values_to_be_between.py parse semantics)
+    is_temporal = column in schema.names and isinstance(
+        schema[column].dataType, (TimestampType, DateType)
+    )
+    if cfg.kwargs.get("parse_strings_as_datetimes") or is_temporal:
+        from dateutil.parser import parse as _parse_dt
+
+        if isinstance(min_value, str):
+            min_value = _parse_dt(min_value)
+        if isinstance(max_value, str):
+            max_value = _parse_dt(max_value)
     expected = _between_expected(
         F.col(column),
-        cfg.kwargs.get("min_value"),
-        cfg.kwargs.get("max_value"),
+        min_value,
+        max_value,
         bool(cfg.kwargs.get("strict_min", False)),
         bool(cfg.kwargs.get("strict_max", False)),
     )
@@ -262,6 +291,25 @@ def compile_match_strftime_format(index, cfg, schema) -> MapCheck:
     Arrow-batched pandas UDF."""
     column = cfg.kwargs["column"]
     fmt = cfg.kwargs["strftime_format"]
+    if column in schema.names and not isinstance(
+        schema[column].dataType, StringType
+    ):
+        raise TypeError(
+            "Values passed to expect_column_values_to_match_strftime_format "
+            "must be of type string."
+        )
+    # upfront format validation (ref column_values_match_strftime_format
+    # metric: strptime(strftime(now, fmt), fmt) round-trip)
+    import datetime as _dt
+
+    try:
+        _dt.datetime.strptime(
+            _dt.datetime.strftime(_dt.datetime.now(), fmt), fmt
+        )
+    except ValueError as e:
+        raise ValueError(
+            f"Unable to use provided strftime_format: {e}"
+        ) from e
     col = F.col(column)
     java_fmt = strftime_to_java(fmt)
     if java_fmt is not None:
@@ -337,6 +385,13 @@ def compile_dateutil_parseable(index, cfg, schema) -> MapCheck:
     """Pandas-only in reference (column_values_dateutil_parseable.py);
     ours: pandas UDF with dateutil."""
     column = cfg.kwargs["column"]
+    if column in schema.names and not isinstance(
+        schema[column].dataType, StringType
+    ):
+        raise TypeError(
+            "Values passed to expect_column_values_to_be_dateutil_parseable "
+            "must be of type string."
+        )
 
     @F.pandas_udf(BooleanType())
     def _parseable(s: pd.Series) -> pd.Series:
@@ -514,6 +569,8 @@ MAP_COMPILERS = {
     "expect_column_value_z_scores_to_be_less_than": compile_z_scores_less_than,
     "expect_column_pair_values_to_be_equal": compile_pair_equal,
     "expect_column_pair_values_a_to_be_greater_than_b": compile_pair_a_greater_than_b,
+    # legacy capitalization used by the reference's fixture corpus
+    "expect_column_pair_values_A_to_be_greater_than_B": compile_pair_a_greater_than_b,
     "expect_column_pair_values_to_be_in_set": compile_pair_in_set,
     "expect_multicolumn_sum_to_equal": compile_multicolumn_sum_equal,
     "expect_select_column_values_to_be_unique_within_record": compile_select_unique_within_record,

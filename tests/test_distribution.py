@@ -164,10 +164,11 @@ def test_chi2_sf_against_known_values():
 
 
 def test_ks(num_df):
+    # GE-parity (dataset/pandas_dataset.py:1627-1760): finite
+    # endpoints, NO tail weights, bootstrap-fraction observed value
     po = {
         "bins": [-3.0, -1.0, 0.0, 1.0, 3.0],
-        "weights": [0.157, 0.341, 0.341, 0.157],
-        "tail_weights": [0.002, 0.002],
+        "weights": [0.1585, 0.3415, 0.3415, 0.1585],
     }
     s = ges.suite("ks").expect(
         "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
@@ -179,6 +180,49 @@ def test_ks(num_df):
     evr = res.results[0]
     assert not evr.exception_info["raised_exception"], evr.exception_info
     assert evr.success is True, evr.result
+    assert evr.result["observed_value"] > 0.05
+    details = evr.result["details"]
+    assert details["bootstrap_sample_size"] == 8  # 2 x n_weights
+
+    # non-overlapping partition must fail (the small bootstrap sample
+    # size makes the test deliberately tolerant of mild mismatch —
+    # pandas_dataset.py:1655 comment — so only a gross mismatch is a
+    # reliable negative)
+    po_bad = {
+        "bins": [10.0, 11.0, 12.0, 13.0],
+        "weights": [0.4, 0.3, 0.3],
+    }
+    s2 = ges.suite("ks2").expect(
+        "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+        column="x", partition_object=po_bad, p=0.05,
+    )
+    assert ges.validate(num_df, s2).results[0].success is False
+
+    # validation parity: tail weights and infinite endpoints rejected
+    for po_err, msg in [
+        (
+            {
+                "bins": [-3.0, 0.0, 3.0],
+                "weights": [0.4, 0.4],
+                "tail_weights": [0.1, 0.1],
+            },
+            "tail weights",
+        ),
+        (
+            {
+                "bins": [float("-inf"), 0.0, 3.0],
+                "weights": [0.5, 0.5],
+            },
+            "must be finite",
+        ),
+    ]:
+        s_err = ges.suite("kse").expect(
+            "expect_column_bootstrapped_ks_test_p_value_to_be_greater_than",
+            column="x", partition_object=po_err, p=0.05,
+        )
+        evr_err = ges.validate(num_df, s_err).results[0]
+        assert evr_err.exception_info["raised_exception"]
+        assert msg in evr_err.exception_info["exception_message"]
 
 
 def test_ks_p_value_sanity():
