@@ -10,20 +10,24 @@ from __future__ import annotations
 from .library_agg import AGG_COMPILERS
 from .library_map import MAP_COMPILERS
 from .distribution import DISTRIBUTION_COMPILERS
+from .query import QUERY_COMPILERS
 from .referential import REFERENTIAL_COMPILERS
 from .sequence import SEQUENCE_COMPILERS
 from .uniqueness import UNIQUE_COMPILERS
 from ..payload.image import IMAGE_COMPILERS
+from ..payload.media import MEDIA_COMPILERS
 
 COMPILERS = {}
 for src in (
     MAP_COMPILERS,
     AGG_COMPILERS,
     DISTRIBUTION_COMPILERS,
+    QUERY_COMPILERS,
     REFERENTIAL_COMPILERS,
     SEQUENCE_COMPILERS,
     UNIQUE_COMPILERS,
     IMAGE_COMPILERS,
+    MEDIA_COMPILERS,
 ):
     COMPILERS.update(src)
 
