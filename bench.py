@@ -129,14 +129,8 @@ def image_suite():
     )
 
 
-def run_suite_at(cores: int) -> dict:
-    """Validate the materialized image table at a parallelism level.
-
-    Reports the MIN of SCALE_REPEATS timed runs: this sandbox is a
-    shared VM with heavy host steal (observed 5x run-to-run swings on
-    an idle box), and the minimum is the least-contaminated estimate
-    of the engine's actual throughput at that parallelism.
-    """
+def _suite_runs_at(cores: int, repeats: int) -> dict:
+    """One session at `cores`: warmup + `repeats` timed validations."""
     import great_expectations_spark as ges
 
     spark = make_session(cores)
@@ -146,28 +140,96 @@ def run_suite_at(cores: int) -> dict:
         # warm up JIT + Python worker pool so the timed runs measure
         # steady-state throughput, not process spawn
         ges.validate(df.limit(2000), image_suite(), result_format="BASIC")
-        times = []
-        phases = None
-        for _ in range(SCALE_REPEATS):
+        times, phases = [], []
+        for _ in range(repeats):
             t0 = time.time()
             res = ges.validate(df, image_suite(), result_format="SUMMARY")
-            dt = time.time() - t0
-            if not times or dt < min(times):
-                phases = res.meta.get("phase_times")
-            times.append(dt)
-        dt = min(times)
-        ok = res.statistics["evaluated_expectations"]
+            times.append(time.time() - t0)
+            phases.append(res.meta.get("phase_times"))
         return {
-            "cores": cores,
             "rows": n,
-            "sec": round(dt, 2),
-            "all_runs_sec": [round(t, 2) for t in times],
-            "rows_per_sec": round(n / dt, 1),
-            "expectations": ok,
-            "phase_times": phases,
+            "times": times,
+            "phases": phases,
+            "expectations": res.statistics["evaluated_expectations"],
         }
     finally:
         spark.stop()
+
+
+def _suite_run_subprocess(cores: int) -> dict:
+    """One timed validation in a FRESH python+JVM subprocess.
+
+    Sequential SparkSessions inside one driver JVM degrade measurably
+    (observed 11s -> 27s across 6 sessions of the same workload:
+    gateway-JVM heap aging), so every scaling sample gets a clean
+    process.
+    """
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--suite-run", str(cores)],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+        timeout=900,
+    )
+    line = out.stdout.strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def _read_steal() -> int:
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8])
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
+def run_scaling(levels, repeats: int) -> dict:
+    """INTERLEAVED adaptive min sampling at each parallelism level:
+    alternating fresh-process sessions (lo, hi, lo, hi, ...) so
+    host-steal drift on this shared VM (observed 3x swings WITHIN a
+    level) hits both levels equally. Sampling continues past
+    `repeats` rounds (to 2x) until each level's minimum is CONFIRMED
+    by a second sample within 25% — a single lucky/unlucky run never
+    decides the scaling number. The host's CPU-steal jiffies consumed
+    during the measurement are recorded for transparency.
+    """
+    acc = {c: {"times": [], "phases": [], "rows": 0, "expectations": 0}
+           for c in levels}
+
+    def confirmed(c):
+        ts = sorted(acc[c]["times"])
+        return len(ts) >= 2 and ts[1] <= 1.25 * ts[0]
+
+    rounds = 0
+    while rounds < max(repeats, 2) or (
+        rounds < 2 * max(repeats, 2)
+        and not all(confirmed(c) for c in levels)
+    ):
+        for c in levels:
+            out = _suite_run_subprocess(c)
+            acc[c]["times"].extend(out["times"])
+            acc[c]["phases"].extend(out["phases"])
+            acc[c]["rows"] = out["rows"]
+            acc[c]["expectations"] = out["expectations"]
+        rounds += 1
+    results = {}
+    for c in levels:
+        times = acc[c]["times"]
+        best_i = min(range(len(times)), key=lambda i: times[i])
+        dt = times[best_i]
+        results[c] = {
+            "cores": c,
+            "rows": acc[c]["rows"],
+            "sec": round(dt, 2),
+            "all_runs_sec": [round(t, 2) for t in times],
+            "rows_per_sec": round(acc[c]["rows"] / dt, 1),
+            "expectations": acc[c]["expectations"],
+            "phase_times": acc[c]["phases"][best_i],
+        }
+    return results
 
 
 def main() -> None:
@@ -196,8 +258,10 @@ def main() -> None:
 
     # -- scaling: same suite, same table, N vs 4N threads -------------
     n_lo, n_hi = SCALE_LEVELS
-    low = run_suite_at(n_lo)
-    high = run_suite_at(n_hi)
+    steal0 = _read_steal()
+    scal = run_scaling([n_lo, n_hi], SCALE_REPEATS)
+    steal_jiffies = _read_steal() - steal0
+    low, high = scal[n_lo], scal[n_hi]
     speedup = high["rows_per_sec"] / low["rows_per_sec"]
     efficiency = speedup / (n_hi / n_lo)
 
@@ -216,10 +280,16 @@ def main() -> None:
             f"local{n_hi}": high,
             "speedup_%d_to_%d" % (n_lo, n_hi): round(speedup, 3),
             "scaling_efficiency": round(efficiency, 3),
+            "host_steal_jiffies_during_measurement": steal_jiffies,
         },
     }
     print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    main()
+    import sys as _sys
+
+    if len(_sys.argv) >= 3 and _sys.argv[1] == "--suite-run":
+        print(json.dumps(_suite_runs_at(int(_sys.argv[2]), 1)))
+    else:
+        main()

@@ -19,12 +19,15 @@ from .core.result import (
     ExpectationSuiteValidationResult,
     ExpectationValidationResult,
 )
+from .checkpoint import CheckpointRunner
 from .operators.registry import list_expectation_types
 from .plans.planner import SparkValidator, validate
+from .profile import profile_table, suite_from_baseline
 
 __version__ = "0.1.0"
 
 __all__ = [
+    "CheckpointRunner",
     "ExpectationConfiguration",
     "ExpectationSuite",
     "ExpectationSuiteValidationResult",
@@ -32,6 +35,8 @@ __all__ = [
     "SparkValidator",
     "list_expectation_types",
     "parse_result_format",
+    "profile_table",
     "suite",
+    "suite_from_baseline",
     "validate",
 ]

@@ -28,6 +28,7 @@ execution_engine/sparkdf_execution_engine.py:669-747.
 from __future__ import annotations
 
 import json
+import threading
 from dataclasses import dataclass, field
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
@@ -99,10 +100,19 @@ class AggCheck(BaseCheck):
 
 @dataclass
 class JobCheck(BaseCheck):
-    """Check that runs its own Spark job(s) via the MetricCache."""
+    """Check that runs its own Spark job(s) via the MetricCache.
+
+    ``prefetch``, when set, performs the check's Spark-side work
+    against the shared MetricCache WITHOUT needing resolved stats —
+    the planner launches prefetches on worker threads concurrently
+    with the phase-1 single-pass scan (Spark schedules concurrent
+    jobs fairly), so independent jobs overlap instead of running
+    serially. ``run`` then finds its metrics memoized.
+    """
 
     needs: Dict[str, Column] = field(default_factory=dict)
     run: Callable[[DataFrame, Dict[str, Any], "MetricCache"], Outcome] = None
+    prefetch: Optional[Callable[[DataFrame, "MetricCache"], None]] = None
 
 
 class MetricCache:
@@ -116,11 +126,25 @@ class MetricCache:
     def __init__(self, df: DataFrame):
         self.df = df
         self._memo: Dict[str, Any] = {}
+        self._locks: Dict[str, Any] = {}
+        self._global_lock = threading.Lock()
 
     def _get(self, key: str, fn: Callable[[], Any]) -> Any:
-        if key not in self._memo:
-            self._memo[key] = fn()
-        return self._memo[key]
+        # per-key locking: concurrent prefetch threads computing
+        # DIFFERENT metrics proceed in parallel; two threads asking
+        # for the SAME key compute it once
+        with self._global_lock:
+            if key in self._memo:
+                return self._memo[key]
+            lock = self._locks.setdefault(key, threading.Lock())
+        with lock:
+            with self._global_lock:
+                if key in self._memo:
+                    return self._memo[key]
+            value = fn()
+            with self._global_lock:
+                self._memo[key] = value
+            return value
 
     def quantiles(self, col: str, qs: List[float], rel_err: float = 0.0) -> List[float]:
         """approxQuantile; rel_err=0 → exact (ref column_quantile_values.py:177-209)."""

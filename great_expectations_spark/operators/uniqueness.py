@@ -51,27 +51,37 @@ def _dup_groups(df, key_cols: List[str], consider, cap: int):
     return int(total), pairs[:cap]
 
 
+def _rf_and_cap(cfg, cache: MetricCache):
+    rf = parse_result_format(
+        cfg.kwargs.get("result_format", cache.result_format)
+    )
+    cap = (
+        cache.complete_cap
+        if result_format_at_least(rf, "COMPLETE")
+        else rf["partial_unexpected_count"]
+    )
+    return rf, max(cap, 1)
+
+
 def compile_values_unique(index, cfg, schema) -> JobCheck:
     """expect_column_values_to_be_unique."""
     column = cfg.kwargs["column"]
     mostly = get_mostly(cfg.kwargs)
     c = F.col(column)
 
-    def run(df, stats: Dict[str, Any], cache: MetricCache):
-        rf = parse_result_format(
-            cfg.kwargs.get("result_format", cache.result_format)
+    def spark_work(df, cache: MetricCache):
+        _, cap = _rf_and_cap(cfg, cache)
+        return cache._get(
+            f"dup_groups:{column}:{cap}",
+            lambda: _dup_groups(df, [column], c.isNotNull(), cap),
         )
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        rf, cap = _rf_and_cap(cfg, cache)
         element_count = stats["table.row_count"]
         nonnull = stats[f"nonnull:{column}"]
         want_lists = rf["result_format"] != "BOOLEAN_ONLY"
-        cap = (
-            cache.complete_cap
-            if result_format_at_least(rf, "COMPLETE")
-            else rf["partial_unexpected_count"]
-        )
-        unexpected_count, pairs = _dup_groups(
-            df, [column], c.isNotNull(), max(cap, 1)
-        )
+        unexpected_count, pairs = spark_work(df, cache)
         unexpected_list = None
         if want_lists:
             unexpected_list = []
@@ -103,6 +113,7 @@ def compile_values_unique(index, cfg, schema) -> JobCheck:
             f"nonnull:{column}": F.sum(F.when(c.isNotNull(), 1).otherwise(0)),
         },
         run=run,
+        prefetch=spark_work,
     )
 
 
@@ -115,21 +126,21 @@ def compile_compound_unique(index, cfg, schema) -> JobCheck:
     mostly = get_mostly(cfg.kwargs)
     consider_key = f"multi:{':'.join(cols)}:{ignore_row_if}"
 
-    def run(df, stats: Dict[str, Any], cache: MetricCache):
-        rf = parse_result_format(
-            cfg.kwargs.get("result_format", cache.result_format)
+    def spark_work(df, cache: MetricCache):
+        _, cap = _rf_and_cap(cfg, cache)
+        return cache._get(
+            f"dup_groups:{':'.join(cols)}:{ignore_row_if}:{cap}",
+            lambda: _dup_groups(
+                df, cols, multi_consider(cols, ignore_row_if), cap
+            ),
         )
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        rf, cap = _rf_and_cap(cfg, cache)
         element_count = stats["table.row_count"]
         filtered = stats[f"considered:{consider_key}"]
         want_lists = rf["result_format"] != "BOOLEAN_ONLY"
-        cap = (
-            cache.complete_cap
-            if result_format_at_least(rf, "COMPLETE")
-            else rf["partial_unexpected_count"]
-        )
-        unexpected_count, rows = _dup_groups(
-            df, cols, multi_consider(cols, ignore_row_if), max(cap, 1)
-        )
+        unexpected_count, rows = spark_work(df, cache)
         unexpected_list = None
         if want_lists:
             unexpected_list = []
@@ -165,6 +176,7 @@ def compile_compound_unique(index, cfg, schema) -> JobCheck:
             ),
         },
         run=run,
+        prefetch=spark_work,
     )
 
 

@@ -248,6 +248,32 @@ class SparkValidator:
             c.deferred for c in map_checks
         )
 
+        # shared metric cache, created BEFORE phase 1 so JobCheck
+        # prefetches can overlap the single-pass scan: Spark schedules
+        # concurrently-submitted jobs across the same executors, so
+        # independent work (two-phase uniqueness, leftover aggs) hides
+        # behind the payload scan instead of serializing after it
+        cache = MetricCache(df)
+        cache.result_format = self.result_format
+        cache.complete_cap = self.complete_cap
+        cache.aux_tables = self.aux_tables
+        prefetch_threads: List[Any] = []
+        import threading as _threading
+
+        for chk in job_checks:
+            if chk.prefetch is None:
+                continue
+
+            def _bg(chk=chk):
+                try:
+                    chk.prefetch(df, cache)
+                except Exception:  # noqa: BLE001 - run() re-raises
+                    pass
+
+            t = _threading.Thread(target=_bg, daemon=True)
+            t.start()
+            prefetch_threads.append(t)
+
         stats: Dict[str, Any] = {}
         unexpected_lists: Optional[Dict[int, List[Any]]] = None
         if use_single and agg_exprs:
@@ -325,11 +351,10 @@ class SparkValidator:
                     chk.config, exc, traceback.format_exc()
                 )
 
-        # phase 3: job checks with a shared metric cache
-        cache = MetricCache(df)
-        cache.result_format = self.result_format
-        cache.complete_cap = self.complete_cap
-        cache.aux_tables = self.aux_tables
+        # phase 3: job checks (prefetched Spark work is memoized in
+        # the cache; join the background threads first)
+        for t in prefetch_threads:
+            t.join()
         for chk in job_checks:
             try:
                 success, result = self._clock(
@@ -376,17 +401,38 @@ class SparkValidator:
                 )
             )
 
+        # the leftover agg depends only on df — submit it on a worker
+        # thread so it runs concurrently with the single-pass job
+        leftover_holder: Dict[str, Any] = {}
+        leftover_thread = None
+        if leftover:
+            keys = list(leftover)
+            import threading as _threading
+
+            def _leftover():
+                try:
+                    leftover_holder["row"] = df.agg(
+                        *[
+                            leftover[k].alias(f"s{i}")
+                            for i, k in enumerate(keys)
+                        ]
+                    ).first()
+                except Exception as exc:  # noqa: BLE001
+                    leftover_holder["error"] = exc
+
+            leftover_thread = _threading.Thread(
+                target=_leftover, daemon=True
+            )
+            leftover_thread.start()
+
         rows = run_single_pass(df, partials, violation_exprs)
         stats = merge_stat_rows(rows, merges)
 
-        if leftover:
-            keys = list(leftover)
-            row = self._clock(
-                "leftover_agg",
-                lambda: df.agg(
-                    *[leftover[k].alias(f"s{i}") for i, k in enumerate(keys)]
-                ).first(),
-            )
+        if leftover_thread is not None:
+            self._clock("leftover_join", leftover_thread.join)
+            if "error" in leftover_holder:
+                raise leftover_holder["error"]
+            row = leftover_holder["row"]
             for i, k in enumerate(keys):
                 stats[k] = row[f"s{i}"]
 

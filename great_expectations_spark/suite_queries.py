@@ -1169,5 +1169,114 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =============================================================================
+# 10. Windowed / ordered operators over the events stream table —
+#     rollups, sessionization, grouped top-k (SURVEY.md §2.2 window
+#     functions + sorts/limits/top-k).
+# =============================================================================
+
+
+@register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed rollup: date_trunc + groupBy — the standard
+    pre-aggregation for drift monitoring over event time. One shuffle
+    on (hour, type); partial aggregation map-side."""
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@register(
+    "sessionization",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE OR lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id,
+           CAST(sum(new_session) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag window
+    partitioned BY USER (scales — no global ordering), then a count
+    of session starts per user."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast through timestamp_ltz: parquet TIMESTAMP_NTZ has no direct
+    # cast to epoch seconds in Spark 4
+    secs = F.col("ts").cast("timestamp_ltz").cast("long")
+    lag_secs = F.lag(F.col("ts")).over(w).cast("timestamp_ltz").cast(
+        "long"
+    )
+    gap = secs - lag_secs
+    new_session = F.when(
+        gap.isNull() | (gap > 30 * 60), 1
+    ).otherwise(0)
+    return (
+        e.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "topk_events_per_type",
+    """
+    SELECT event_type, event_id, round(value, 2) AS value,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT event_type, event_id, value,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    WHERE rn <= 3
+    """,
+)
+def topk_events_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped top-k via row_number window with a deterministic
+    tie-break — the bounded-violation / leaderboard pattern."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("value"), F.asc("event_id")
+    )
+    return (
+        e.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "event_type",
+            "event_id",
+            F.round("value", 2).alias("value"),
+            "rank",
+        )
+    )
+
+
 def registry() -> Dict[str, Tuple[Query, Optional[str]]]:
     return dict(_REGISTRY)
