@@ -1179,7 +1179,8 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_hourly_rollup",
     """
-    SELECT date_trunc('hour', ts) AS hour, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           event_type,
            count(*) AS n_events,
            round(sum(value), 2) AS sum_value
     FROM events
@@ -1191,8 +1192,12 @@ def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-aggregation for drift monitoring over event time. One shuffle
     on (hour, type); partial aggregation map-side."""
     e = _t(spark, sf_dir, "events")
+    # string-typed bucket: raw timestamps hash differently across
+    # engines' wire formats; a formatted string is engine-neutral
     return e.groupBy(
-        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00")
+        .alias("hour"),
+        "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
