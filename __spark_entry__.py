@@ -12,11 +12,38 @@ with a DuckDB-runnable ANSI-SQL oracle where SQL can express it.
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from great_expectations_spark import suite_queries
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from great_expectations_spark import suite_queries  # noqa: E402
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make the package importable on executors regardless of the
+    driver process's cwd (the spark-submit --py-files path, built on
+    the fly): zip great_expectations_spark and addPyFile it."""
+    zip_path = os.path.join("/tmp", "ges_pkg.zip")
+    pkg_dir = os.path.join(_REPO_ROOT, "great_expectations_spark")
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _, files in os.walk(pkg_dir):
+                for f in files:
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:  # noqa: BLE001 - already added or no context
+        pass
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -30,6 +57,7 @@ def entry(spark: SparkSession) -> DataFrame:
     import great_expectations_spark as ges
     from great_expectations_spark.data.images import images_df
 
+    _ship_package(spark)
     img = images_df(spark, n_rows=2000, seed=42)
     img_suite = (
         ges.suite("images")

@@ -277,8 +277,15 @@ def compile_pixels_match_reference(index, cfg, schema):
         if ref_table not in aux:
             raise ValueError(f"reference table {ref_table!r} not provided")
         element_count = stats["table.row_count"]
-        ref = aux[ref_table].select(
-            F.col(id_column).alias("__rid"), F.col(column).alias("__rbytes")
+        # one golden payload per id: a duplicated reference id would
+        # fan the join out and double-count rows
+        ref = (
+            aux[ref_table]
+            .select(
+                F.col(id_column).alias("__rid"),
+                F.col(column).alias("__rbytes"),
+            )
+            .dropDuplicates(["__rid"])
         )
         joined = df.select(id_column, column).join(
             ref, F.col(id_column) == F.col("__rid"), "inner"
