@@ -33,6 +33,10 @@ SCALE_LEVELS = tuple(
     for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
 )
 SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+# hard wall-clock budget for the scaling phase: adaptive sampling
+# stops extending once this is exhausted (at least one round always
+# completes), keeping the whole bench inside a driver-friendly window
+SCALE_BUDGET_S = float(os.environ.get("SPARK_GRAFT_SCALE_BUDGET_S", "360"))
 
 HEADLINE = [
     "fused_column_stats",
@@ -204,9 +208,16 @@ def run_scaling(levels, repeats: int) -> dict:
         return len(ts) >= 2 and ts[1] <= 1.25 * ts[0]
 
     rounds = 0
-    while rounds < max(repeats, 2) or (
-        rounds < 2 * max(repeats, 2)
-        and not all(confirmed(c) for c in levels)
+    t_start = time.time()
+    while rounds == 0 or (
+        time.time() - t_start < SCALE_BUDGET_S
+        and (
+            rounds < max(repeats, 2)
+            or (
+                rounds < 2 * max(repeats, 2)
+                and not all(confirmed(c) for c in levels)
+            )
+        )
     ):
         for c in levels:
             out = _suite_run_subprocess(c)
