@@ -53,7 +53,7 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     SELECT
       count(*)                                   AS row_count,
-      sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS qty_nulls,
+      CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS qty_nulls,
       round(min(l_quantity), 4)                  AS qty_min,
       round(max(l_quantity), 4)                  AS qty_max,
       round(avg(l_quantity), 4)                  AS qty_mean,
@@ -98,8 +98,8 @@ def fused_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT l_linestatus,
            count(*) AS element_count,
-           sum(CASE WHEN l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END)
-             AS unexpected_count
+           CAST(sum(CASE WHEN l_returnflag NOT IN ('A', 'N') THEN 1 ELSE 0 END)
+             AS BIGINT) AS unexpected_count
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -147,7 +147,7 @@ def value_length_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """expect_column_value_lengths_to_be_between violation rows."""
     d = _t(spark, sf_dir, "documents")
     return d.where(~F.length("text").between(60, 400)).select(
-        "doc_id", F.length("text").alias("text_len")
+        "doc_id", F.length("text").cast("long").alias("text_len")
     )
 
 
@@ -156,8 +156,8 @@ def value_length_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS element_count,
-           sum(CASE WHEN NOT regexp_matches(props, '^\\{"k": [0-9]+\\}$')
-                    THEN 1 ELSE 0 END) AS unexpected_count
+           CAST(sum(CASE WHEN NOT regexp_matches(props, '^\\{"k": [0-9]+\\}$')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS unexpected_count
     FROM events
     GROUP BY event_type
     """,
@@ -1046,12 +1046,12 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return base.select(
         "doc_id",
-        n.alias("n_tokens"),
+        n.cast("long").alias("n_tokens"),
         F.round((F.length("text") - n + 1) / n, 4).alias(
             "mean_token_len"
         ),
         F.round(stop / n, 4).alias("stopword_ratio"),
-        F.size(F.array_distinct(F.col("words"))).alias("distinct_tokens"),
+        F.size(F.array_distinct(F.col("words"))).cast("long").alias("distinct_tokens"),
     )
 
 
@@ -1059,9 +1059,9 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count_by_source",
     """
     SELECT source,
-           sum(len(string_split(text, ' '))) AS ws_tokens,
-           sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}')))
-             AS bpe_tokens
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}')))
+             AS BIGINT) AS bpe_tokens
     FROM documents
     GROUP BY source
     """,

@@ -24,6 +24,49 @@ TABLES = (
 ).split()
 
 
+# DuckDB logical type -> Spark simple dtype. Anything unmapped (e.g.
+# HUGEINT from an uncast integer sum()) deliberately fails the strict
+# type compare — the driver's value hash is typed, so a HUGEINT/BIGINT
+# mismatch is a red CORRECTNESS row even when the values are equal.
+_DUCK_TO_SPARK = {
+    "TINYINT": "tinyint",
+    "SMALLINT": "smallint",
+    "INTEGER": "int",
+    "BIGINT": "bigint",
+    "FLOAT": "float",
+    "DOUBLE": "double",
+    "VARCHAR": "string",
+    "BOOLEAN": "boolean",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "TIMESTAMP WITH TIME ZONE": "timestamp",
+    "BLOB": "binary",
+}
+
+
+def duck_type_to_spark(t: str) -> str:
+    t = str(t).upper()
+    if t.startswith("DECIMAL"):
+        return t.lower().replace(" ", "")
+    if t.endswith("[]"):
+        inner = duck_type_to_spark(t[:-2])
+        return f"array<{inner}>"
+    return _DUCK_TO_SPARK.get(t, f"<unmapped:{t}>")
+
+
+def check_types(name, scols, sdtypes, dcols, dtypes_):
+    """Strict dtype compare, by sorted column name."""
+    smap = dict(sdtypes)
+    dmap = {c: duck_type_to_spark(t) for c, t in zip(dcols, dtypes_)}
+    bad = []
+    for c in sorted(set(scols) & set(dcols)):
+        st = smap[c].replace(" ", "")
+        dt = dmap[c].replace(" ", "")
+        if st != dt:
+            bad.append(f"{c}: spark={st} duck={dt}")
+    return bad
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -76,6 +119,7 @@ def main():
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sdtypes = sdf.dtypes
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
@@ -91,6 +135,7 @@ def main():
         try:
             res = con.sql(oracles[name])
             dcols = res.columns
+            dtypes_ = res.types
             drows = [tuple(r) for r in res.fetchall()]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
@@ -100,6 +145,11 @@ def main():
         dc, dr = norm_rows(dcols, drows)
         if sc != dc:
             print(f"FAIL  {name}: columns {sc} vs {dc}")
+            n_fail += 1
+            continue
+        type_bad = check_types(name, scols, sdtypes, dcols, dtypes_)
+        if type_bad:
+            print(f"FAIL  {name}: dtype mismatch: {'; '.join(type_bad)}")
             n_fail += 1
             continue
         if len(sr) != len(dr):
