@@ -29,17 +29,40 @@ from great_expectations_spark import suite_queries  # noqa: E402
 def _ship_package(spark: SparkSession) -> None:
     """Make the package importable on executors regardless of the
     driver process's cwd (the spark-submit --py-files path, built on
-    the fly): zip great_expectations_spark and addPyFile it."""
-    zip_path = os.path.join("/tmp", "ges_pkg.zip")
+    the fly): zip great_expectations_spark and addPyFile it.
+
+    The zip is named by a content hash of the package sources and
+    written to a private (0700) per-user temp dir — a fixed path in
+    world-writable /tmp would both ship stale code after an edit and
+    let another local user pre-plant a zip that executors then
+    import."""
+    import hashlib
+    import tempfile
+
     pkg_dir = os.path.join(_REPO_ROOT, "great_expectations_spark")
+    sources = []
+    for root, _, files in os.walk(pkg_dir):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                sources.append(os.path.join(root, f))
+    sources.sort()
+    digest = hashlib.sha256()
+    for full in sources:
+        digest.update(os.path.relpath(full, _REPO_ROOT).encode())
+        with open(full, "rb") as fh:
+            digest.update(fh.read())
+    tmp_root = os.path.join(
+        tempfile.gettempdir(), f"ges_pkg_{os.getuid()}"
+    )
+    os.makedirs(tmp_root, mode=0o700, exist_ok=True)
+    os.chmod(tmp_root, 0o700)
+    zip_path = os.path.join(
+        tmp_root, f"ges_pkg_{digest.hexdigest()[:16]}.zip"
+    )
     if not os.path.exists(zip_path):
         with zipfile.ZipFile(zip_path, "w") as zf:
-            for root, _, files in os.walk(pkg_dir):
-                for f in files:
-                    if not f.endswith(".py"):
-                        continue
-                    full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, _REPO_ROOT))
+            for full in sources:
+                zf.write(full, os.path.relpath(full, _REPO_ROOT))
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 - already added or no context
