@@ -157,10 +157,14 @@ class CheckpointRunner:
         if self.group_col is None:
             return ["__all__"]
         rows = df.select(self.group_col).distinct().collect()
-        return sorted(r[0] for r in rows)
+        # None-safe ordering: a NULL group sorts first; mixing None
+        # with strings in plain sorted() raises TypeError
+        return sorted(
+            (r[0] for r in rows), key=lambda v: (v is not None, str(v))
+        )
 
     def _group_path(self, group: Any) -> str:
-        safe = str(group).replace("/", "_")
+        safe = "__null__" if group is None else str(group).replace("/", "_")
         return os.path.join(self.groups_dir, f"{safe}.json")
 
     # -- per-group work -------------------------------------------------------
@@ -180,15 +184,22 @@ class CheckpointRunner:
         return compiled, errors
 
     def _run_group(
-        self, df: DataFrame, group: Any, partials, violation_exprs
+        self, df: DataFrame, group: Any, partials, violation_exprs,
+        merges=None, viol_caps=None,
     ) -> Dict[str, Any]:
         t0 = time.time()
-        gdf = (
-            df
-            if group == "__all__"
-            else df.where(F.col(self.group_col) == F.lit(group))
+        if self.group_col is None:
+            gdf = df
+        elif group is None:
+            # NULL groups must be filtered with isNull: col == lit(None)
+            # matches no row, silently dropping them from every count
+            gdf = df.where(F.col(self.group_col).isNull())
+        else:
+            gdf = df.where(F.col(self.group_col) == F.lit(group))
+        rows = run_single_pass(
+            gdf, partials, violation_exprs,
+            merges=merges, viol_caps=viol_caps,
         )
-        rows = run_single_pass(gdf, partials, violation_exprs)
         out = {
             "group": group,
             "status": "done",
@@ -257,7 +268,13 @@ class CheckpointRunner:
                 skipped += 1
                 continue
             group_states.append(
-                self._run_group(df, g, partials, violation_exprs)
+                self._run_group(
+                    df, g, partials, violation_exprs,
+                    merges=merges,
+                    viol_caps={
+                        f"v{i}": cap for i, cap in caps.items()
+                    },
+                )
             )
             computed += 1
 

@@ -25,10 +25,16 @@ from .common import get_mostly, multi_consider
 def _dup_groups(df, key_cols: List[str], consider, cap: int):
     """(values..., count) rows for groups with count > 1, plus total
     duplicated-row count — ONE Spark job: groupBy shuffle, then a
-    per-shuffle-partition bounded sample (slice(collect_list)) merged
-    with the totals in a final tiny agg, so memory stays
-    O(cap x shuffle partitions) and the shuffle never re-executes
-    (the old two-action form re-ran the groupBy for the sample)."""
+    per-shuffle-partition sample (slice(collect_list)) merged with
+    the totals in a final tiny agg; the shuffle never re-executes
+    (the old two-action form re-ran the groupBy for the sample).
+    EMITTED sample is O(cap x shuffle partitions); the in-scan
+    collect_list buffer is bounded by the duplicate groups in one
+    shuffle partition (not by cap) — acceptable because dup groups
+    are a post-aggregation set, already far smaller than the input,
+    and shuffle partition sizing keeps each partition's share in
+    memory (see single_pass.py module docstring for the general
+    caveat)."""
     base = df.where(consider) if consider is not None else df
     grouped = base.groupBy(*[F.col(c) for c in key_cols]).agg(
         F.count(F.lit(1)).alias("__cnt")

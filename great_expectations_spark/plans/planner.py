@@ -425,7 +425,13 @@ class SparkValidator:
             )
             leftover_thread.start()
 
-        rows = run_single_pass(df, partials, violation_exprs)
+        rows = run_single_pass(
+            df,
+            partials,
+            violation_exprs,
+            merges=merges,
+            viol_caps={f"v{i}": cap for i, cap in caps.items()},
+        )
         stats = merge_stat_rows(rows, merges)
 
         if leftover_thread is not None:

@@ -12,9 +12,20 @@ same work into ONE Spark job:
     )
 
 followed by a driver-side merge of the per-partition partials (Chan's
-parallel variance merge for stddev). Violation memory stays bounded at
-O(K x checks x partitions) exactly like the classic harvest's
-two-level slice. Aggregates that cannot be merged from partition
+parallel variance merge for stddev; above SECOND_LEVEL_FAN_IN
+partitions, an executor-side second-level merge first, so the driver
+receives O(fan_in) rows regardless of partition count).
+
+Violation memory: the slice() bounds what each partition EMITS
+(K values), not what the collect_list buffer accumulates while the
+partition is scanned — a high-violation-rate partition's buffer grows
+to O(violating values in that partition) before the slice applies.
+That is capped by the split size (a 128 MB split cannot buffer more
+than ~3x 128 MB of JSON-encoded values, per check), which is
+survivable but not the O(K) an ideal bounded aggregator would give;
+Spark has no built-in early-truncating collect, so a true O(K) bound
+needs a custom JVM UDAF (future work, not worth a Python UDAF that
+would drag every row through Arrow). Aggregates that cannot be merged from partition
 partials (countDistinct) go to a LEFTOVER df.agg job — which Catalyst
 column-prunes, so it never touches payload columns and costs a cheap
 scalar scan.
@@ -165,28 +176,129 @@ def merge_stat_rows(
 def violation_slice_expr(
     cond: Column, value: Column, cap: int, alias: str
 ) -> Column:
-    """Bounded per-partition violation sample: the collect_list only
-    ever holds values for rows matching cond, sliced to the cap."""
+    """Per-partition violation sample: the collect_list only ever
+    holds values for rows matching cond; the slice caps what the
+    partition EMITS at K (the in-scan buffer is bounded by the
+    partition's violating values, not by K — see module docstring)."""
     return F.slice(
         F.collect_list(F.when(cond, value)), 1, cap
     ).alias(alias)
+
+
+# Max rows the driver receives from the single-pass job. At 10^12
+# rows / 128 MB splits an input table has ~10^6 partitions; collecting
+# one row per partition (stats + up-to-K violation JSON strings per
+# check) would put multiple GB on the driver. Above this fan-in, a
+# second-level aggregation merges partition partials on the executors
+# first, so driver memory is O(FAN_IN x checks x cap) regardless of
+# input partition count.
+SECOND_LEVEL_FAN_IN = 1024
+
+
+def _second_level_exprs(
+    merges: Dict[str, "_Merge"],
+    viol_caps: Dict[str, int],
+) -> List[Column]:
+    """Aggregate expressions that merge level-1 partition partials
+    into bucket partials OF THE SAME SHAPE, so the driver-side
+    merge_stat_rows runs unchanged on the (far fewer) bucket rows.
+
+    Stats merge in closed form — sums/mins/maxs trivially; the
+    (n, mean, M2) variance triple via the standard parallel-variance
+    identity  M2 = sum(M2_i) + sum(n_i*mean_i^2) - (sum(n_i*mean_i))^2/N
+    (same math as the driver's Chan merge, associative, one pass).
+
+    Violation slices merge as slice(flatten(sort_by_pid(...)), 1, cap):
+    the sort keeps the sample deterministic (pid order within bucket,
+    buckets are contiguous pid ranges), and each bucket's aggregation
+    buffer holds at most (partitions/buckets) already-capped arrays.
+    """
+    exprs: List[Column] = []
+    for m in merges.values():
+        if m.kind in ("sum0", "sum"):
+            for a in m.aliases:
+                exprs.append(F.sum(F.col(a)).alias(a))
+        elif m.kind == "min":
+            exprs.append(F.min(F.col(m.aliases[0])).alias(m.aliases[0]))
+        elif m.kind == "max":
+            exprs.append(F.max(F.col(m.aliases[0])).alias(m.aliases[0]))
+        elif m.kind == "mean":
+            s_a, n_a = m.aliases
+            exprs.append(F.sum(F.col(s_a)).alias(s_a))
+            exprs.append(F.sum(F.col(n_a)).alias(n_a))
+        elif m.kind == "stddev":
+            n_a, mean_a, m2_a = m.aliases
+            n, mean, m2 = F.col(n_a), F.col(mean_a), F.col(m2_a)
+            n_tot = F.sum(n)
+            s1 = F.sum(mean * n)  # sum of values
+            exprs.append(n_tot.alias(n_a))
+            exprs.append((F.sum(mean * n) / F.sum(n)).alias(mean_a))
+            exprs.append(
+                (
+                    F.sum(m2)
+                    + F.sum(n * mean * mean)
+                    - s1 * s1 / n_tot
+                ).alias(m2_a)
+            )
+    for alias, cap in viol_caps.items():
+        sorted_structs = F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__pid").alias("p"), F.col(alias).alias("a")
+                )
+            )
+        )
+        exprs.append(
+            F.slice(
+                F.flatten(
+                    F.transform(sorted_structs, lambda s: s["a"])
+                ),
+                1,
+                cap,
+            ).alias(alias)
+        )
+    return exprs
 
 
 def run_single_pass(
     df: DataFrame,
     partials: Dict[str, Column],
     violation_exprs: List[Column],
+    merges: Optional[Dict[str, "_Merge"]] = None,
+    viol_caps: Optional[Dict[str, int]] = None,
+    fan_in: Optional[int] = None,
 ) -> List[Any]:
     """ONE Spark job: per-partition partial aggregation. No shuffle —
     the grouping key is spark_partition_id(), so Catalyst plans a
-    partition-local hash agg and the driver receives one row per
-    input partition."""
+    partition-local hash agg.
+
+    When the input has more partitions than `fan_in` (and the caller
+    supplies the merge recipes), a second-level aggregation re-groups
+    the partition rows into `fan_in` CONTIGUOUS pid-range buckets and
+    merges the partials executor-side; the driver then receives at
+    most `fan_in` rows instead of one per input partition. Bucket ids
+    are emitted as `__pid` so downstream pid-ordered concat logic is
+    unchanged (contiguous ranges keep ascending-pid sample order).
+    """
     exprs = [expr.alias(alias) for alias, expr in partials.items()]
     exprs.extend(violation_exprs)
     if not exprs:
         return []
+    if fan_in is None:
+        fan_in = SECOND_LEVEL_FAN_IN
+    lvl1 = df.groupBy(F.spark_partition_id().alias("__pid")).agg(*exprs)
+    n_parts = df.rdd.getNumPartitions()
+    if merges is None or n_parts <= fan_in:
+        return lvl1.collect()
+    bucket_span = -(-n_parts // fan_in)  # ceil
+    lvl2_exprs = _second_level_exprs(merges, viol_caps or {})
     return (
-        df.groupBy(F.spark_partition_id().alias("__pid"))
-        .agg(*exprs)
+        lvl1.groupBy(
+            (F.col("__pid") / F.lit(bucket_span))
+            .cast("long")
+            .alias("__bucket")
+        )
+        .agg(*lvl2_exprs)
+        .withColumnRenamed("__bucket", "__pid")
         .collect()
     )

@@ -137,3 +137,47 @@ def test_checkpoint_outputs(spark, tmp_path):
     with open(os.path.join(run_dir, "result.json")) as f:
         res = json.load(f)
     assert "statistics" in res and res["statistics"]["evaluated_expectations"] == 7
+
+
+def test_checkpoint_null_group_values(spark, tmp_path):
+    """A NULL in group_col must land in its own group (isNull filter,
+    __null__.json state file) — col == lit(None) matches no rows and
+    would silently drop them from every count."""
+    df = images_df(spark, n_rows=2000, seed=42)
+    df = df.withColumn(
+        "fmt",
+        F.when(
+            F.crc32(F.col("image_id")) % 11 == 0,
+            F.lit(None).cast("string"),
+        ).otherwise(F.col("fmt")),
+    )
+    path = str(tmp_path / "images_null")
+    df.write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    n_null = persisted.where(F.col("fmt").isNull()).count()
+    assert n_null > 0
+
+    suite = (
+        ges.suite("nullgrp")
+        .expect("expect_column_values_to_not_be_null", column="caption",
+                mostly=0.99)
+        .expect("expect_column_mean_to_be_between", column="w",
+                min_value=8, max_value=40)
+    )
+    expected = ges.validate(persisted, suite, result_format="SUMMARY")
+
+    state = str(tmp_path / "state_null")
+    runner = CheckpointRunner(
+        spark, path, suite, state, "rn", group_col="fmt"
+    )
+    got = runner.run()
+
+    # element_count must include the NULL-group rows
+    for e, g in zip(expected.results, got.results):
+        er, gr = e.result or {}, g.result or {}
+        if "element_count" in er:
+            assert er["element_count"] == gr["element_count"]
+        assert e.success == g.success
+    assert os.path.exists(
+        os.path.join(state, "run=rn", "groups", "__null__.json")
+    )

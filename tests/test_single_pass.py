@@ -59,12 +59,24 @@ def assert_equivalent(classic, single):
         assert set(cr) == set(sr), typ
         for k in cr:
             cv, sv = cr[k], sr[k]
-            if k == "partial_unexpected_list":
+            if k == "partial_unexpected_counts":
+                # derived from the (possibly truncated) sample —
+                # subject to the same truncation caveat as the list
+                if len(cr.get("partial_unexpected_list") or []) < (
+                    cr.get("unexpected_count") or 0
+                ):
+                    continue
+                assert cv == sv, (typ, k)
+            elif k == "partial_unexpected_list":
                 # sample membership may differ by partition visit
-                # order under COMPLETE caps; counts must agree and the
-                # multiset must match when the list is exhaustive
+                # order when the cap truncates (classic's second-level
+                # collect_list order is shuffle-dependent); the
+                # multiset must match only when the list is exhaustive
                 assert len(cv) == len(sv), typ
-                assert sorted(map(str, cv)) == sorted(map(str, sv)), typ
+                if len(cv) == (cr.get("unexpected_count") or 0):
+                    assert sorted(map(str, cv)) == sorted(
+                        map(str, sv)
+                    ), typ
             elif isinstance(cv, float) and isinstance(sv, float):
                 if math.isnan(cv):
                     assert math.isnan(sv), typ
@@ -125,3 +137,49 @@ def test_deferred_zscore_falls_back(spark):
     )
     res = ges.validate(df, s, result_format="BASIC")
     assert res.results[0].success
+
+
+def test_second_level_merge_matches_direct_collect(spark, monkeypatch):
+    """Force the bounded two-level path (fan_in < #partitions): the
+    driver must receive at most fan_in rows and the EVRs must be
+    byte-identical to the classic plan — stats merged in closed form
+    (incl. the parallel-variance identity) and violation samples
+    flattened in pid order."""
+    from great_expectations_spark.plans import single_pass as sp
+
+    df = images_df(spark, n_rows=3000, seed=42).repartition(16)
+    monkeypatch.setattr(sp, "SECOND_LEVEL_FAN_IN", 3)
+
+    captured = {}
+    orig = sp.run_single_pass
+
+    def spy(df_, partials, violation_exprs, **kw):
+        rows = orig(df_, partials, violation_exprs, **kw)
+        captured["n_rows"] = len(rows)
+        return rows
+
+    monkeypatch.setattr(sp, "run_single_pass", spy)
+    # the planner imported the symbol directly — patch there too
+    from great_expectations_spark.plans import planner as pl
+
+    monkeypatch.setattr(pl, "run_single_pass", spy)
+
+    classic, single = run_both(df, suite_rich())
+    assert_equivalent(classic, single)
+    assert captured["n_rows"] <= 3
+
+
+def test_second_level_merge_empty_and_allnull(spark, monkeypatch):
+    from great_expectations_spark.plans import planner as pl
+    from great_expectations_spark.plans import single_pass as sp
+
+    monkeypatch.setattr(sp, "SECOND_LEVEL_FAN_IN", 2)
+    monkeypatch.setattr(
+        pl, "run_single_pass", sp.run_single_pass
+    )
+    df = images_df(spark, n_rows=400, seed=5).repartition(8).withColumn(
+        "caption", F.lit(None).cast("string")
+    )
+    s = suite_rich()
+    classic, single = run_both(df, s)
+    assert_equivalent(classic, single)
