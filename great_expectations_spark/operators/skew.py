@@ -90,7 +90,19 @@ def salted_join(
     replicated once per salt value, and the join key becomes
     (key, salt) — a hot key's rows land on n_salts reducers instead
     of one. Column set of the result matches left.join(right, on, how)
-    with duplicate key collapsed."""
+    with duplicate key collapsed.
+
+    Only left-preserving join types are valid: the right side is
+    replicated n_salts times, so "right"/"full"/"anti" against the
+    right side would emit each unmatched right row once per salt —
+    silently wrong results."""
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the replicated "
+            "right side would duplicate unmatched right rows; use a "
+            "plain join (AQE skew handling) for right/full joins"
+        )
     salts = F.explode(
         F.sequence(F.lit(0), F.lit(n_salts - 1))
     ).alias("__salt")
