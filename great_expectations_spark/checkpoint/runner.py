@@ -106,6 +106,7 @@ class CheckpointRunner:
         run_id: str,
         group_col: Optional[str] = None,
         result_format: Any = "SUMMARY",
+        actions: Optional[List[Any]] = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -115,6 +116,7 @@ class CheckpointRunner:
         self.run_id = run_id
         self.group_col = group_col
         self.result_format = result_format
+        self.actions = list(actions or [])
         os.makedirs(self.groups_dir, exist_ok=True)
 
     # -- plumbing -------------------------------------------------------------
@@ -374,6 +376,12 @@ class CheckpointRunner:
             },
         )
         self._write_outputs(group_states, result)
+        if self.actions:
+            from .actions import run_actions
+
+            result.meta["actions_results"] = run_actions(
+                self.actions, result, self
+            )
         return result
 
     # -- durable outputs ------------------------------------------------------

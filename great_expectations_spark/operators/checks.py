@@ -123,11 +123,33 @@ class MetricCache:
     that cannot be fused into the single agg pass.
     """
 
+    # hard ceiling on driver-side value collections (distinct_set /
+    # value_counts). The reference collects unboundedly
+    # (column_distinct_values.py:78-104) — on a high-cardinality
+    # column that is millions of rows on the driver; failing loudly
+    # with the cardinality in the message beats an opaque driver OOM
+    # (same pattern as cramers_phi's max_cells guard,
+    # distribution.py:590-603).
+    max_collect_values = 1_000_000
+
     def __init__(self, df: DataFrame):
         self.df = df
         self._memo: Dict[str, Any] = {}
         self._locks: Dict[str, Any] = {}
         self._global_lock = threading.Lock()
+
+    def _bounded_collect(self, df, what: str, col: str):
+        rows = df.limit(self.max_collect_values + 1).collect()
+        if len(rows) > self.max_collect_values:
+            raise ValueError(
+                f"{what} of column {col!r} exceeds "
+                f"max_collect_values={self.max_collect_values} distinct "
+                "values; this check is meant for categorical columns — "
+                "use expect_column_unique_value_count_to_be_between "
+                "(exact countDistinct, no collect) or raise "
+                "MetricCache.max_collect_values explicitly"
+            )
+        return rows
 
     def _get(self, key: str, fn: Callable[[], Any]) -> Any:
         # per-key locking: concurrent prefetch threads computing
@@ -145,6 +167,25 @@ class MetricCache:
             with self._global_lock:
                 self._memo[key] = value
             return value
+
+    def head(self, n_rows: int = 5, fetch_all: bool = False):
+        """table.head — first rows as a list of dicts (reference
+        table_head.py:143-157: df.head(n) / collect() for fetch_all).
+        fetch_all is bounded by max_collect_values like the other
+        driver-side collections (the reference collects unboundedly).
+        """
+        key = f"head:{n_rows}:{fetch_all}"
+
+        def compute():
+            if fetch_all:
+                rows = self._bounded_collect(
+                    self.df, "table head (fetch_all)", "*"
+                )
+            else:
+                rows = self.df.head(n_rows)
+            return [r.asDict() for r in rows]
+
+        return self._get(key, compute)
 
     def quantiles(self, col: str, qs: List[float], rel_err: float = 0.0) -> List[float]:
         """approxQuantile; rel_err=0 → exact (ref column_quantile_values.py:177-209)."""
@@ -174,13 +215,14 @@ class MetricCache:
         """Nonnull value counts ordered by value
         (ref column_value_counts.py:144-176)."""
         def compute():
-            rows = (
+            rows = self._bounded_collect(
                 self.df.select(col)
                 .where(F.col(col).isNotNull())
                 .groupBy(col)
                 .count()
-                .orderBy(col)
-                .collect()
+                .orderBy(col),
+                "value_counts",
+                col,
             )
             return [(r[0], r[1]) for r in rows]
 
@@ -189,11 +231,12 @@ class MetricCache:
     def distinct_set(self, col: str) -> set:
         """Distinct nonnull values (ref column_distinct_values.py:78-104)."""
         def compute():
-            rows = (
+            rows = self._bounded_collect(
                 self.df.select(col)
                 .where(F.col(col).isNotNull())
-                .distinct()
-                .collect()
+                .distinct(),
+                "distinct value set",
+                col,
             )
             return {r[0] for r in rows}
 

@@ -47,10 +47,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..core.config import (
+    ExpectationConfiguration,
     ExpectationSuite,
     parse_result_format,
     result_format_at_least,
 )
+from ..core.evaluation_parameters import build_evaluation_parameters
 from ..core.result import (
     ExpectationSuiteValidationResult,
     ExpectationValidationResult,
@@ -65,6 +67,7 @@ from ..operators.checks import (
     MetricCache,
     SchemaCheck,
 )
+from ..functions.row_conditions import domain_condition
 from ..operators.registry import get_compiler
 from .single_pass import (
     merge_stat_rows,
@@ -139,10 +142,17 @@ class SparkValidator:
         complete_cap: int = 100_000,
         catch_exceptions: bool = True,
         strategy: str = "auto",
+        evaluation_parameters: Optional[Dict[str, Any]] = None,
     ):
         self.df = df
         self.suite = suite
         self.aux_tables = aux_tables or {}
+        # runtime parameters take priority over the suite's stored
+        # ones (ref validator.py:1727-1751 load order)
+        self.evaluation_parameters = dict(
+            getattr(suite, "evaluation_parameters", None) or {}
+        )
+        self.evaluation_parameters.update(evaluation_parameters or {})
         self.result_format = parse_result_format(result_format)
         self.complete_cap = complete_cap
         self.catch_exceptions = catch_exceptions
@@ -169,24 +179,46 @@ class SparkValidator:
         evrs: Dict[int, ExpectationValidationResult] = {}
         compiled: List[Any] = []
 
-        # compile
+        # compile (binding {"$PARAMETER": ...} kwargs first)
         for i, cfg in enumerate(self.suite.expectations):
             try:
+                if any(
+                    isinstance(v, dict) and "$PARAMETER" in v
+                    for v in cfg.kwargs.values()
+                ):
+                    bound, _ = build_evaluation_parameters(
+                        cfg.kwargs, self.evaluation_parameters
+                    )
+                    cfg = ExpectationConfiguration(
+                        expectation_type=cfg.expectation_type,
+                        kwargs=bound,
+                        meta=dict(cfg.meta),
+                    )
                 compiled.append(get_compiler(cfg.expectation_type)(i, cfg, self.df.schema))
             except Exception as exc:  # noqa: BLE001 - catch_exceptions semantics
                 if not self.catch_exceptions:
                     raise
                 evrs[i] = exception_result(cfg, exc, traceback.format_exc())
 
-        # group by row_condition domain (ref sparkdf_execution_engine.py:438-502)
-        domains: Dict[str, List[Any]] = defaultdict(list)
+        # group by row_condition domain (ref sparkdf_execution_engine.py:438-502);
+        # the domain key includes the declared parser — the same string
+        # can be Spark SQL under one parser and GE DSL under another
+        domains: Dict[Any, List[Any]] = defaultdict(list)
         for chk in compiled:
             rc = chk.config.kwargs.get("row_condition") or ""
-            domains[rc].append(chk)
+            parser = chk.config.kwargs.get("condition_parser") or "spark"
+            domains[(rc, parser)].append(chk)
 
-        for rc, checks in domains.items():
-            df = self.df.filter(F.expr(rc)) if rc else self.df
+        for (rc, parser), checks in domains.items():
             try:
+                # inside the try: an unparseable condition (bad SQL,
+                # bad DSL) must yield exception EVRs for its domain's
+                # checks, not abort the whole validate
+                df = (
+                    self.df.filter(domain_condition(rc, parser))
+                    if rc
+                    else self.df
+                )
                 self._validate_domain(df, checks, evrs)
             except Exception as exc:  # noqa: BLE001
                 if not self.catch_exceptions:

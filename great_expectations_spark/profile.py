@@ -46,8 +46,11 @@ def profile_table(
     columns: Optional[List[str]] = None,
     n_bins: int = 10,
     quantile_rel_err: float = 0.001,
+    head_rows: int = 5,
 ) -> Dict[str, Any]:
-    """Profile a DataFrame into a baseline dict (JSON-serializable)."""
+    """Profile a DataFrame into a baseline dict (JSON-serializable).
+    Includes a `head` sample (table.head, ref table_head.py:143-157)
+    for the docs/preview flow; binary cells are elided to lengths."""
     fields = [
         f for f in df.schema.fields if columns is None or f.name in columns
     ]
@@ -97,9 +100,20 @@ def profile_table(
         edges_by_col = dict(zip(num_cols, all_edges))
 
     # ---- pass 3: value_counts only where pass 1 showed low card -----
+    head: List[Dict[str, Any]] = []
+    if head_rows > 0:
+        for r in df.head(head_rows):
+            d = r.asDict()
+            head.append(
+                {
+                    k: (f"<binary:{len(v)}B>" if isinstance(v, (bytes, bytearray)) else v)
+                    for k, v in d.items()
+                }
+            )
     baseline: Dict[str, Any] = {
         "profiled_at": time.time(),
         "row_count": n,
+        "head": head,
         "columns": {},
     }
     for f in fields:

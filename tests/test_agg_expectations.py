@@ -291,3 +291,45 @@ def test_unknown_expectation_type(spark):
     res = ges.validate(df, s)
     assert res.results[0].success is False
     assert res.results[0].exception_info["raised_exception"] is True
+
+
+def test_table_head_and_profile_head(spark):
+    from great_expectations_spark.data.images import images_df
+    from great_expectations_spark.operators.checks import MetricCache
+    from great_expectations_spark.profile import profile_table
+
+    df = images_df(spark, n_rows=300, seed=3)
+    cache = MetricCache(df)
+    head = cache.head(4)
+    assert len(head) == 4
+    assert set(head[0]) == set(df.columns)
+    assert cache.head(4) is head  # memoized
+
+    prof = profile_table(df, head_rows=3)
+    assert len(prof["head"]) == 3
+    # binary cells elided to lengths, JSON-serializable
+    import json
+
+    json.dumps(prof["head"])
+    assert prof["head"][0]["bytes"].startswith("<binary:")
+
+
+def test_metric_cache_cardinality_guard(spark):
+    from pyspark.sql import functions as F
+
+    from great_expectations_spark.operators.checks import MetricCache
+
+    df = spark.range(5000).withColumn(
+        "v", F.col("id").cast("string")
+    )
+    cache = MetricCache(df)
+    cache.max_collect_values = 1000
+    with pytest.raises(ValueError, match="max_collect_values"):
+        cache.distinct_set("v")
+    with pytest.raises(ValueError, match="max_collect_values"):
+        cache.value_counts("v")
+    # low-cardinality columns are unaffected
+    small = spark.range(5000).withColumn("v", F.lit("x"))
+    c2 = MetricCache(small)
+    c2.max_collect_values = 1000
+    assert c2.distinct_set("v") == {"x"}

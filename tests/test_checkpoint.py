@@ -181,3 +181,46 @@ def test_checkpoint_null_group_values(spark, tmp_path):
     assert os.path.exists(
         os.path.join(state, "run=rn", "groups", "__null__.json")
     )
+
+
+def test_checkpoint_actions(spark, tmp_path):
+    from great_expectations_spark.checkpoint.actions import (
+        CopyResultAction,
+        FailureSummaryAction,
+    )
+
+    path = make_table(spark, tmp_path, n=800)
+    state = str(tmp_path / "state_act")
+    seen = {}
+
+    def my_hook(result, runner):
+        seen["run_id"] = runner.run_id
+        seen["success"] = result.success
+        return "hooked"
+
+    def broken(result, runner):
+        raise RuntimeError("boom")
+
+    dest = str(tmp_path / "mirror")
+    log = str(tmp_path / "failures.log")
+    runner = CheckpointRunner(
+        spark, path, the_suite(), state, "ra", group_col="fmt",
+        actions=[
+            my_hook,
+            broken,
+            CopyResultAction(dest),
+            FailureSummaryAction(log),
+        ],
+    )
+    res = runner.run()
+
+    assert seen["run_id"] == "ra"
+    ar = res.meta["actions_results"]
+    assert [a["action"] for a in ar] == [
+        "my_hook", "broken", "CopyResultAction", "FailureSummaryAction",
+    ]
+    assert ar[0] == {"action": "my_hook", "success": True, "result": "hooked"}
+    # a failing action is isolated: recorded, later actions still ran
+    assert ar[1]["success"] is False and "boom" in ar[1]["error"]
+    assert os.path.exists(os.path.join(dest, "ra.json"))
+    assert ar[3]["success"] is True
