@@ -251,3 +251,139 @@ def suite_from_baseline(
                 threshold=drift_threshold,
             )
     return suite
+
+
+# =============================================================================
+# Multi-batch profiling — the concept replacement for the reference's
+# OnboardingDataAssistant (rule_based_profiler/data_assistant/
+# onboarding_data_assistant.py:46-476), which estimates each metric's
+# plausible range from its distribution ACROSS batches rather than
+# from a single batch. One fused-agg profile per batch (no extra scans
+# vs profiling each batch once); cross-batch estimation is driver-side
+# arithmetic on the per-batch summaries.
+# =============================================================================
+
+
+def profile_batches(
+    dfs: List[DataFrame],
+    columns: Optional[List[str]] = None,
+    n_bins: int = 10,
+) -> Dict[str, Any]:
+    """Profile each batch and fold the per-batch metric values into
+    cross-batch ranges: for every (column, metric) the observed
+    values, their min/max/mean across batches, and the batch count —
+    the inputs the range estimator in suite_from_batches consumes."""
+    if not dfs:
+        raise ValueError("profile_batches needs at least one batch")
+    per_batch = [
+        profile_table(df, columns=columns, n_bins=n_bins, head_rows=0)
+        for df in dfs
+    ]
+    tracked = (
+        "min", "max", "mean", "stddev", "null_fraction",
+        "approx_distinct", "len_min", "len_max",
+    )
+    multi: Dict[str, Dict[str, Any]] = {}
+    for prof in per_batch:
+        for col, info in prof["columns"].items():
+            slot = multi.setdefault(col, {"type": info["type"]})
+            for m in tracked:
+                v = info.get(m)
+                if v is None:
+                    continue
+                slot.setdefault(m, []).append(float(v))
+    summary: Dict[str, Any] = {}
+    for col, slot in multi.items():
+        summary[col] = {"type": slot["type"]}
+        for m, vals in slot.items():
+            if m == "type":
+                continue
+            summary[col][m] = {
+                "values": vals,
+                "min": min(vals),
+                "max": max(vals),
+                "mean": sum(vals) / len(vals),
+            }
+    return {
+        "profiled_at": time.time(),
+        "n_batches": len(dfs),
+        "row_counts": [p["row_count"] for p in per_batch],
+        "batches": per_batch,
+        "columns": summary,
+    }
+
+
+def suite_from_batches(
+    multibatch: Dict[str, Any],
+    name: str = "multibatch-profiled",
+    slack: float = 0.25,
+    rel_floor: float = 0.05,
+) -> ExpectationSuite:
+    """Derive a suite from cross-batch metric ranges, the assistant's
+    range-estimator shape: a metric observed in [lo, hi] across
+    batches gets bounds padded by max(slack*spread,
+    rel_floor*magnitude). The relative floor matters when a handful
+    of batches agree tightly — the observed spread then underestimates
+    sampling variance (HLL distinct counts carry ~2% error, stddev has
+    sampling noise), and a pure spread-based pad would fail fresh
+    same-distribution batches."""
+    suite = ExpectationSuite(name=name)
+
+    def bounds(rng: Dict[str, Any]):
+        lo, hi = rng["min"], rng["max"]
+        spread = hi - lo
+        pad = max(
+            slack * spread, rel_floor * max(abs(lo), abs(hi), 1.0)
+        )
+        return lo - pad, hi + pad
+
+    for col, info in multibatch["columns"].items():
+        nf = info.get("null_fraction")
+        if nf is not None:
+            worst = nf["max"]
+            if worst == 0:
+                suite.expect(
+                    "expect_column_values_to_not_be_null", column=col
+                )
+            elif worst < 0.5:
+                suite.expect(
+                    "expect_column_values_to_not_be_null",
+                    column=col,
+                    mostly=max(
+                        0.0, round(1 - worst * (1 + slack), 4)
+                    ),
+                )
+        if "min" in info and "max" in info:
+            lo, _ = bounds(info["min"])
+            _, hi = bounds(info["max"])
+            suite.expect(
+                "expect_column_values_to_be_between",
+                column=col,
+                min_value=lo,
+                max_value=hi,
+            )
+        if "mean" in info:
+            lo, hi = bounds(info["mean"])
+            suite.expect(
+                "expect_column_mean_to_be_between",
+                column=col,
+                min_value=lo,
+                max_value=hi,
+            )
+        if "stddev" in info:
+            lo, hi = bounds(info["stddev"])
+            suite.expect(
+                "expect_column_stdev_to_be_between",
+                column=col,
+                min_value=max(0.0, lo),
+                max_value=hi,
+            )
+        if "approx_distinct" in info:
+            lo, hi = bounds(info["approx_distinct"])
+            suite.expect(
+                "expect_column_unique_value_count_to_be_between",
+                column=col,
+                min_value=max(0, int(lo)),
+                max_value=int(hi) + 1,
+            )
+    return suite

@@ -121,3 +121,94 @@ def test_profile_baseline_suite_roundtrip(spark, tmp_path):
         if not r.success
     }
     assert ("expect_column_psi_to_be_less_than", "x") in failed_types
+
+
+def test_multibatch_profile_and_suite(spark):
+    from great_expectations_spark.data.images import images_df
+    from great_expectations_spark.profile import (
+        profile_batches,
+        suite_from_batches,
+    )
+
+    batches = [
+        images_df(spark, n_rows=800, seed=s) for s in (1, 2, 3)
+    ]
+    mb = profile_batches(batches, columns=["w", "h", "caption", "fmt"])
+    assert mb["n_batches"] == 3
+    assert len(mb["batches"]) == 3
+    wmean = mb["columns"]["w"]["mean"]
+    assert len(wmean["values"]) == 3
+    assert wmean["min"] <= wmean["mean"] <= wmean["max"]
+
+    suite = suite_from_batches(mb)
+    types = {e.expectation_type for e in suite.expectations}
+    assert "expect_column_mean_to_be_between" in types
+    assert "expect_column_values_to_be_between" in types
+
+    # a fresh same-distribution batch passes every derived expectation
+    fresh = images_df(spark, n_rows=800, seed=9)
+    res = ges.validate(fresh, suite, result_format="BASIC")
+    assert res.success, [
+        (r.expectation_config.expectation_type,
+         r.expectation_config.kwargs.get("column"), r.result)
+        for r in res.results if not r.success
+    ]
+
+    # a shifted batch (w scaled 3x) must fail the w-range/mean checks
+    shifted = fresh.withColumn("w", (F.col("w") * 3).cast("int"))
+    res2 = ges.validate(shifted, suite, result_format="BASIC")
+    failed_cols = {
+        r.expectation_config.kwargs.get("column")
+        for r in res2.results
+        if not r.success
+    }
+    assert "w" in failed_cols
+
+
+def test_azure_url_and_confs():
+    from great_expectations_spark.sources.cloud import (
+        azure_spark_confs,
+        parse_azure_url,
+    )
+
+    p = parse_azure_url(
+        "wasbs://data@myacct.blob.core.windows.net/images/part-0.parquet"
+    )
+    assert p["container"] == "data"
+    assert p["account"] == "myacct"
+    assert p["blob"] == "images/part-0.parquet"
+
+    confs = azure_spark_confs(
+        "wasbs://data@myacct.blob.core.windows.net/x", credential="KEY"
+    )
+    assert (
+        confs["fs.azure.account.key.myacct.blob.core.windows.net"] == "KEY"
+    )
+    assert confs["fs.wasbs.impl"].endswith("$Secure")
+
+    # ADLS Gen2 variant
+    confs2 = azure_spark_confs(
+        "abfss://lake@acct2.dfs.core.windows.net/tbl", credential="K2"
+    )
+    assert "fs.azure.account.key.acct2.dfs.core.windows.net" in confs2
+
+    with pytest.raises(ValueError, match="not an Azure storage URL"):
+        parse_azure_url("s3://bucket/key")
+
+
+def test_catalog_table_read(spark, tmp_path):
+    from great_expectations_spark.sources.cloud import read_catalog_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ges_test_db")
+    try:
+        spark.range(20).withColumnRenamed("id", "k").write.mode(
+            "overwrite"
+        ).saveAsTable("ges_test_db.t1")
+        df = read_catalog_table(spark, "ges_test_db", "t1")
+        assert df.count() == 20
+        assert df.columns == ["k"]
+        with pytest.raises(ValueError, match="database_name"):
+            read_catalog_table(spark, "", "t1")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ges_test_db.t1")
+        spark.sql("DROP DATABASE IF EXISTS ges_test_db")
