@@ -714,8 +714,6 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation state at all. Star pairs preserve the buckets'
     connected components, which is the property downstream dedup
     clustering consumes."""
-    from pyspark.sql import Window
-
     sigs = dedup_minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -723,48 +721,67 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"band{b}") for b in range(_BANDS)])
         ).alias("band_idx", "bv"),
     )
-    w = Window.partitionBy("band_idx", "bv")
+    # Everything below is row-local after ONE exchange: a union of a
+    # grouped small-bucket branch with a projected big-bucket branch
+    # would recompute the scan + signature pipeline once per branch
+    # (verified in the physical plan). The full-frame window computes
+    # bucket size, hub, each row's rank, and — only for small buckets
+    # — the bucket's sorted id list: collect_list SKIPS the nulls that
+    # when() yields on mega-bucket rows, so its buffer stays <= cap
+    # elements no matter how hot the bucket is.
+    w_ord = Window.partitionBy("band_idx", "bv").orderBy("doc_id")
+    w_full = w_ord.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     sized = bands.select(
         "doc_id",
         "band_idx",
         "bv",
-        F.count(F.lit(1)).over(w).alias("n"),
-        F.min("doc_id").over(w).alias("hub"),
+        F.count(F.lit(1)).over(w_full).alias("n"),
+        F.first("doc_id").over(w_ord).alias("hub"),
+        F.row_number().over(w_ord).alias("rn"),
     )
-    small_buckets = (
-        sized.where(
-            (F.col("n") >= 2) & (F.col("n") <= _LSH_BUCKET_CAP)
-        )
-        .groupBy("band_idx", "bv")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    sized = sized.withColumn(
+        "ids",
+        F.collect_list(
+            F.when(F.col("n") <= _LSH_BUCKET_CAP, F.col("doc_id"))
+        ).over(w_full),
     )
-    small_pairs = small_buckets.select(
+    # per-row pair emission: a small-bucket row pairs with every
+    # LATER id in its bucket (each pair emitted exactly once, a < b);
+    # a big-bucket row emits its single star pair (hub -> member)
+    empty = F.array().cast(
+        "array<struct<doc_a:bigint,doc_b:bigint>>"
+    )
+    pairs = sized.select(
         F.explode(
-            F.flatten(
+            F.when(
+                F.col("n") <= _LSH_BUCKET_CAP,
                 F.transform(
-                    F.col("ids"),
-                    lambda x, i: F.transform(
-                        F.slice(
-                            F.col("ids"),
-                            i + 2,
-                            F.greatest(
-                                F.size(F.col("ids")) - i - 1, F.lit(0)
-                            ),
-                        ),
-                        lambda y: F.struct(
-                            x.alias("doc_a"), y.alias("doc_b")
-                        ),
+                    F.slice(
+                        F.col("ids"),
+                        F.col("rn") + 1,
+                        F.col("n") - F.col("rn"),
                     ),
-                )
+                    lambda y: F.struct(
+                        F.col("doc_id").alias("doc_a"),
+                        y.alias("doc_b"),
+                    ),
+                ),
             )
+            .when(
+                F.col("doc_id") != F.col("hub"),
+                F.array(
+                    F.struct(
+                        F.col("hub").alias("doc_a"),
+                        F.col("doc_id").alias("doc_b"),
+                    )
+                ),
+            )
+            .otherwise(empty)
         ).alias("p")
-    ).select("p.doc_a", "p.doc_b")
-    star_pairs = sized.where(
-        (F.col("n") > _LSH_BUCKET_CAP) & (F.col("doc_id") != F.col("hub"))
-    ).select(
-        F.col("hub").alias("doc_a"), F.col("doc_id").alias("doc_b")
     )
-    return small_pairs.unionAll(star_pairs).distinct()
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
 # --- SimHash ----------------------------------------------------------------
