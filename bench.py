@@ -53,6 +53,7 @@ HEADLINE = [
     "ks_statistic",
     "dedup_exact_stats",
     "dedup_minhash_pairs",
+    "dedup_minhash_hot_buckets",
     "dedup_simhash",
     "ngram_jaccard_adjacent",
     "embedding_cosine_topk",
@@ -60,6 +61,7 @@ HEADLINE = [
     "text_quality_scores",
     "token_count_by_source",
     "doc_fingerprints",
+    "doc_winnow_fingerprints",
 ]
 
 

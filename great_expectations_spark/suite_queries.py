@@ -784,6 +784,57 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("p.doc_a", "p.doc_b").distinct()
 
 
+
+@register(
+    "dedup_minhash_hot_buckets",
+    f"""
+    WITH sigs AS ({_MINHASH_DUCK_SIGS}),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS bv FROM sigs"
+        for b in range(_BANDS)
+      )}
+    ),
+    buckets AS (
+      SELECT band_idx, bv, count(*) AS n
+      FROM bands GROUP BY band_idx, bv
+    )
+    SELECT band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS capped_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket
+    FROM buckets
+    GROUP BY band_idx
+    """,
+)
+def dedup_minhash_hot_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Accounting for the LSH hot-bucket cap: per band, how many
+    buckets exist, how many exceeded _LSH_BUCKET_CAP (and thus
+    switched to star pairs in dedup_minhash_pairs), and the largest
+    bucket. No silent caps — this is the query an operator runs to
+    see exactly what the cap did to a corpus."""
+    sigs = dedup_minhash_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"band{b}") for b in range(_BANDS)])
+        ).alias("band_idx", "bv"),
+    )
+    buckets = bands.groupBy("band_idx", "bv").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when(F.col("n") > _LSH_BUCKET_CAP, 1).otherwise(0)
+        ).alias("capped_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 # 16-bit simhash from the first 4 md5 hex chars of each token; bit j
 # is set when the +1/-1 vote over all tokens is positive.
