@@ -1,0 +1,77 @@
+"""Plan-shape regression tests: the physical-plan properties PLANS.md
+documents, asserted so a refactor cannot silently reintroduce a
+duplicated scan, a lost pushdown, or payload-column reads in
+stats-only suites."""
+
+import io
+import contextlib
+
+import great_expectations_spark as ges
+from great_expectations_spark import suite_queries as sq
+from great_expectations_spark.data.images import images_df
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df, mode="simple"):
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    txt = plan_of(sq.between_violations(spark, SF), "formatted")
+    assert "PushedFilters: [Or(LessThan(o_totalprice" in txt
+    # column pruning: only the 2 referenced columns are read
+    assert "ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>" in txt
+
+
+def test_lsh_pairs_single_scan_no_union(spark):
+    txt = plan_of(sq.dedup_minhash_pairs(spark, SF))
+    assert txt.count("FileScan") == 1, "signature pipeline duplicated"
+    assert "Union" not in txt
+    # the bounded collect guards hot buckets: collect_list input must
+    # be the when(n <= cap) conditional (projected to a _w column by
+    # the window planner), never the raw doc_id
+    assert "collect_list(_w" in txt
+    assert "collect_list(doc_id" not in txt
+
+
+def test_stats_only_suite_never_reads_bytes(spark):
+    df = images_df(spark, n_rows=500, seed=1)
+    s = (
+        ges.suite("scalar")
+        .expect("expect_column_values_to_not_be_null", column="caption")
+        .expect("expect_column_mean_to_be_between", column="w",
+                min_value=0, max_value=100)
+    )
+    v = ges.SparkValidator(df, s, strategy="single_pass")
+    compiled = []
+    from great_expectations_spark.operators.registry import get_compiler
+    from great_expectations_spark.plans.planner import (
+        collect_agg_exprs,
+        split_checks,
+    )
+
+    for i, cfg in enumerate(s.expectations):
+        compiled.append(get_compiler(cfg.expectation_type)(i, cfg, df.schema))
+    _, map_checks, agg_checks, job_checks = split_checks(compiled)
+    exprs = collect_agg_exprs(map_checks, agg_checks, job_checks)
+    agg_df = df.agg(*[e.alias(k.replace(":", "_").replace(".", "_"))
+                      for k, e in exprs.items()])
+    txt = plan_of(agg_df, "formatted")
+    assert "bytes" not in txt.split("ReadSchema:")[-1].splitlines()[0]
+
+
+def test_uniqueness_is_two_phase_hash_agg(spark):
+    txt = plan_of(sq.uniqueness_duplicates(spark, SF))
+    # partial agg before the exchange, no Window
+    assert "partial_count" in txt or txt.count("HashAggregate") >= 2
+    assert "Window" not in txt
+
+
+def test_referential_is_broadcast_anti_join(spark):
+    txt = plan_of(sq.referential_violations(spark, SF))
+    assert "LeftAnti" in txt
+    assert "Broadcast" in txt
