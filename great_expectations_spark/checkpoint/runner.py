@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.config import ExpectationSuite
+from ..functions.row_conditions import domain_condition
 from ..core.result import (
     ExpectationSuiteValidationResult,
     ExpectationValidationResult,
@@ -165,9 +166,9 @@ class CheckpointRunner:
             (r[0] for r in rows), key=lambda v: (v is not None, str(v))
         )
 
-    def _group_path(self, group: Any) -> str:
+    def _group_path(self, group: Any, tag: str = "") -> str:
         safe = "__null__" if group is None else str(group).replace("/", "_")
-        return os.path.join(self.groups_dir, f"{safe}.json")
+        return os.path.join(self.groups_dir, f"{safe}{tag}.json")
 
     # -- per-group work -------------------------------------------------------
 
@@ -187,7 +188,7 @@ class CheckpointRunner:
 
     def _run_group(
         self, df: DataFrame, group: Any, partials, violation_exprs,
-        merges=None, viol_caps=None,
+        merges=None, viol_caps=None, tag: str = "",
     ) -> Dict[str, Any]:
         t0 = time.time()
         if self.group_col is None:
@@ -203,7 +204,7 @@ class CheckpointRunner:
             merges=merges, viol_caps=viol_caps,
         )
         out = {
-            "group": group,
+            "group": group if not tag else f"{group}{tag}",
             "status": "done",
             "duration_s": round(time.time() - t0, 3),
             "finished_at": time.time(),
@@ -211,7 +212,7 @@ class CheckpointRunner:
                 {k: r[k] for k in r.asDict()} for r in rows
             ],
         }
-        _atomic_write_json(self._group_path(group), out)
+        _atomic_write_json(self._group_path(group, tag), out)
         return out
 
     # -- the run --------------------------------------------------------------
@@ -220,30 +221,106 @@ class CheckpointRunner:
         pinned = self._pin_batch()
         df = self._df()
         compiled, errors = self._compile(df)
-        schema_checks, map_checks, agg_checks, job_checks = split_checks(
-            compiled
-        )
-        if any(c.deferred for c in map_checks):
-            raise NotImplementedError(
-                "checkpointed runs do not support deferred (z-score) "
-                "conditions yet; validate() handles them in-process"
-            )
-        if any(
-            c.config.kwargs.get("row_condition") for c in compiled
-        ):
-            raise NotImplementedError(
-                "checkpointed runs do not support row_condition domains"
-            )
+
+        # row_condition domains, keyed exactly like the in-process
+        # planner (plans/planner.py validate): (condition, parser).
+        # Each domain gets its own checkpointed group grid; state
+        # files for non-empty domains carry a content-hash tag so a
+        # resumed run maps identical domains to identical files.
+        from collections import defaultdict
+
+        domains: Dict[Any, List[Any]] = defaultdict(list)
+        for chk in compiled:
+            rc = chk.config.kwargs.get("row_condition") or ""
+            parser = chk.config.kwargs.get("condition_parser") or "spark"
+            domains[(rc, parser)].append(chk)
 
         validator = SparkValidator(
             df, self.suite, result_format=self.result_format
         )
+        groups = self._groups(df)
+        evrs: Dict[int, ExpectationValidationResult] = dict(errors)
+        group_states: List[Dict[str, Any]] = []
+        computed, skipped = 0, 0
+        for rc, parser in sorted(domains):
+            checks = domains[(rc, parser)]
+            tag = (
+                ""
+                if not rc
+                else "__d"
+                + hashlib.sha256(
+                    f"{rc}|{parser}".encode()
+                ).hexdigest()[:8]
+            )
+            try:
+                ddf = (
+                    df.where(domain_condition(rc, parser)) if rc else df
+                )
+                d_states, d_comp, d_skip = self._run_domain(
+                    ddf, checks, tag, groups, validator, evrs
+                )
+            except Exception as exc:  # noqa: BLE001 - per-domain isolation
+                tb = traceback.format_exc()
+                for chk in checks:
+                    if chk.index not in evrs:
+                        evrs[chk.index] = exception_result(
+                            chk.config, exc, tb
+                        )
+                continue
+            group_states.extend(d_states)
+            computed += d_comp
+            skipped += d_skip
+
+        ordered = [evrs[i] for i in sorted(evrs)]
+        result = ExpectationSuiteValidationResult.from_results(
+            ordered,
+            meta={
+                "run_id": self.run_id,
+                "batch": pinned,
+                "groups_total": len(groups) * len(domains),
+                "groups_computed": computed,
+                "groups_resumed": skipped,
+                "expectation_suite_name": self.suite.name,
+                "engine": "great_expectations_spark.checkpoint",
+            },
+        )
+        self._write_outputs(group_states, result)
+        if self.actions:
+            from .actions import run_actions
+
+            result.meta["actions_results"] = run_actions(
+                self.actions, result, self
+            )
+        return result
+
+    def _run_domain(
+        self,
+        df: DataFrame,
+        checks: List[Any],
+        tag: str,
+        groups: List[Any],
+        validator: SparkValidator,
+        evrs: Dict[int, ExpectationValidationResult],
+    ):
+        """Checkpointed execution of one row_condition domain:
+        per-group single-pass partials (resumable), then the domain's
+        finalize — stats merge, leftover aggregates, the deferred
+        (z-score) second pass, violation harvest for deferred checks,
+        and EVRs."""
+        schema_checks, map_checks, agg_checks, job_checks = split_checks(
+            checks
+        )
+
         agg_exprs = collect_agg_exprs(map_checks, agg_checks, job_checks)
         partials, merges, leftover = plan_stat_partials(agg_exprs)
 
         caps: Dict[int, int] = {}
         violation_exprs = []
         for chk in map_checks:
+            if chk.deferred:
+                # z-score conditions need final stats; they run in the
+                # deferred second pass at finalize, not per group
+                continue
             rf = validator._rf_for(chk)
             if rf["result_format"] == "BOOLEAN_ONLY":
                 continue
@@ -259,11 +336,10 @@ class CheckpointRunner:
             )
 
         # group loop — resume skips any group with a committed file
-        groups = self._groups(df)
         group_states: List[Dict[str, Any]] = []
         computed, skipped = 0, 0
         for g in groups:
-            gp = self._group_path(g)
+            gp = self._group_path(g, tag)
             if os.path.exists(gp):
                 with open(gp) as f:
                     group_states.append(json.load(f))
@@ -276,6 +352,7 @@ class CheckpointRunner:
                     viol_caps={
                         f"v{i}": cap for i, cap in caps.items()
                     },
+                    tag=tag,
                 )
             )
             computed += 1
@@ -294,6 +371,32 @@ class CheckpointRunner:
             for i, k in enumerate(keys):
                 stats[k] = row[f"s{i}"]
 
+        # deferred second pass (planner phase 1b): conditions built
+        # against the now-final stats, one fused scan for the counts
+        deferred = [c for c in map_checks if c.deferred]
+        if deferred and stats.get("table.row_count", 0):
+            exprs = []
+            for chk in deferred:
+                cond, _ = chk.build(stats)
+                full = (
+                    (chk.consider() & cond)
+                    if chk.consider is not None
+                    else cond
+                )
+                exprs.append(
+                    F.sum(F.when(full, 1).otherwise(0)).alias(
+                        f"u{chk.index}"
+                    )
+                )
+            row = df.agg(*exprs).first()
+            for chk in deferred:
+                stats[f"unexpected:{chk.index}"] = (
+                    row[f"u{chk.index}"] or 0
+                )
+        else:
+            for chk in deferred:
+                stats[f"unexpected:{chk.index}"] = 0
+
         unexpected_lists: Dict[int, List[Any]] = {}
         for chk in map_checks:
             cap = caps.get(chk.index)
@@ -307,11 +410,16 @@ class CheckpointRunner:
                 if len(merged) >= cap:
                     break
             unexpected_lists[chk.index] = [
-                chk.value_decoder(json.loads(s)) for s in merged[:cap]
+                chk.value_decoder(json.loads(v)) for v in merged[:cap]
             ]
+        if any(
+            stats.get(f"unexpected:{c.index}", 0) for c in deferred
+        ):
+            unexpected_lists.update(
+                validator._harvest_violations(df, deferred, stats)
+            )
 
         # EVRs
-        evrs: Dict[int, ExpectationValidationResult] = dict(errors)
         for chk in schema_checks:
             try:
                 success, result = chk.evaluate(df.schema)
@@ -361,28 +469,7 @@ class CheckpointRunner:
                 evrs[chk.index] = exception_result(
                     chk.config, exc, traceback.format_exc()
                 )
-
-        ordered = [evrs[i] for i in sorted(evrs)]
-        result = ExpectationSuiteValidationResult.from_results(
-            ordered,
-            meta={
-                "run_id": self.run_id,
-                "batch": pinned,
-                "groups_total": len(groups),
-                "groups_computed": computed,
-                "groups_resumed": skipped,
-                "expectation_suite_name": self.suite.name,
-                "engine": "great_expectations_spark.checkpoint",
-            },
-        )
-        self._write_outputs(group_states, result)
-        if self.actions:
-            from .actions import run_actions
-
-            result.meta["actions_results"] = run_actions(
-                self.actions, result, self
-            )
-        return result
+        return group_states, computed, skipped
 
     # -- durable outputs ------------------------------------------------------
 

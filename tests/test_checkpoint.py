@@ -224,3 +224,81 @@ def test_checkpoint_actions(spark, tmp_path):
     assert ar[1]["success"] is False and "boom" in ar[1]["error"]
     assert os.path.exists(os.path.join(dest, "ra.json"))
     assert ar[3]["success"] is True
+
+
+def _assert_parity(expected, got):
+    assert [r.success for r in expected.results] == [
+        r.success for r in got.results
+    ]
+    for e, g in zip(expected.results, got.results):
+        er, gr = e.result or {}, g.result or {}
+        for k in ("element_count", "unexpected_count"):
+            if k in er:
+                assert er[k] == gr[k], (
+                    e.expectation_config.expectation_type, k,
+                )
+
+
+def test_checkpoint_row_condition_domains(spark, tmp_path):
+    """Checkpointed runs now execute row_condition domains: each
+    domain gets its own resumable group grid (state files tagged by
+    a domain content hash), results match in-process validate."""
+    path = make_table(spark, tmp_path, n=2000)
+    df = spark.read.parquet(path)
+
+    suite = (
+        ges.suite("rc-ckpt")
+        .expect("expect_column_values_to_not_be_null", column="caption",
+                mostly=0.99)
+        .expect("expect_column_mean_to_be_between", column="w",
+                min_value=1, max_value=64,
+                row_condition='col("w")>16',
+                condition_parser="great_expectations")
+        .expect("expect_column_values_to_be_between", column="h",
+                min_value=1, max_value=64,
+                row_condition="fmt = 'png'")
+    )
+    expected = ges.validate(df, suite, result_format="SUMMARY")
+    state = str(tmp_path / "state_rc")
+    got = CheckpointRunner(
+        spark, path, suite, state, "rrc", group_col="fmt"
+    ).run()
+    _assert_parity(expected, got)
+
+    # domain-tagged state files exist alongside untagged ones
+    files = os.listdir(os.path.join(state, "run=rrc", "groups"))
+    assert any("__d" in f for f in files)
+    assert any("__d" not in f for f in files)
+
+    # resume: everything skipped, same result
+    r2 = CheckpointRunner(
+        spark, path, suite, state, "rrc", group_col="fmt"
+    )
+    second = r2.run()
+    assert second.meta["groups_computed"] == 0
+    assert second.meta["groups_resumed"] == got.meta["groups_total"]
+    _assert_parity(expected, second)
+
+
+def test_checkpoint_deferred_zscore(spark, tmp_path):
+    """Deferred (z-score) conditions run as a finalize-time second
+    pass against the merged stats — parity with in-process."""
+    path = make_table(spark, tmp_path, n=2000)
+    df = spark.read.parquet(path)
+    suite = (
+        ges.suite("z-ckpt")
+        .expect("expect_column_value_z_scores_to_be_less_than",
+                column="w", threshold=0.5, double_sided=True,
+                mostly=0.8)
+        .expect("expect_column_mean_to_be_between", column="w",
+                min_value=1, max_value=64)
+    )
+    expected = ges.validate(df, suite, result_format="SUMMARY")
+    got = CheckpointRunner(
+        spark, path, suite, str(tmp_path / "state_z"), "rz",
+        group_col="fmt",
+    ).run()
+    _assert_parity(expected, got)
+    zr = got.results[0].result
+    assert zr["element_count"] == 2000
+    assert zr["unexpected_count"] > 0
