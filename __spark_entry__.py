@@ -60,9 +60,13 @@ def _ship_package(spark: SparkSession) -> None:
         tmp_root, f"ges_pkg_{digest.hexdigest()[:16]}.zip"
     )
     if not os.path.exists(zip_path):
-        with zipfile.ZipFile(zip_path, "w") as zf:
+        # tmp + rename: two drivers with identical sources share this
+        # path, and addPyFile on a half-written zip fails executors
+        tmp = f"{zip_path}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w") as zf:
             for full in sources:
                 zf.write(full, os.path.relpath(full, _REPO_ROOT))
+        os.replace(tmp, zip_path)
     try:
         spark.sparkContext.addPyFile(zip_path)
     except Exception:  # noqa: BLE001 - already added or no context

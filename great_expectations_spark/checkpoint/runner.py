@@ -108,6 +108,7 @@ class CheckpointRunner:
         group_col: Optional[str] = None,
         result_format: Any = "SUMMARY",
         actions: Optional[List[Any]] = None,
+        evaluation_parameters: Optional[Dict[str, Any]] = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -118,6 +119,7 @@ class CheckpointRunner:
         self.group_col = group_col
         self.result_format = result_format
         self.actions = list(actions or [])
+        self.evaluation_parameters = dict(evaluation_parameters or {})
         os.makedirs(self.groups_dir, exist_ok=True)
 
     # -- plumbing -------------------------------------------------------------
@@ -167,16 +169,51 @@ class CheckpointRunner:
         )
 
     def _group_path(self, group: Any, tag: str = "") -> str:
-        safe = "__null__" if group is None else str(group).replace("/", "_")
+        """Injective file naming: NULL -> __null__; every literal
+        value is percent-encoded and prefixed with "v" so a literal
+        string "__null__" (or values differing only in characters
+        the filesystem rejects) can never collide with another
+        group's state file."""
+        import urllib.parse
+
+        if group is None:
+            safe = "__null__"
+        else:
+            safe = "v" + urllib.parse.quote(str(group), safe="")
         return os.path.join(self.groups_dir, f"{safe}{tag}.json")
 
     # -- per-group work -------------------------------------------------------
 
     def _compile(self, df: DataFrame):
+        from ..core.config import ExpectationConfiguration
+        from ..core.evaluation_parameters import (
+            build_evaluation_parameters,
+        )
+
+        params = dict(
+            getattr(self.suite, "evaluation_parameters", None) or {}
+        )
+        params.update(self.evaluation_parameters)
         compiled = []
         errors: Dict[int, ExpectationValidationResult] = {}
         for i, cfg in enumerate(self.suite.expectations):
             try:
+                # bind {"$PARAMETER": ...} kwargs exactly like the
+                # in-process validator (plans/planner.py) — without
+                # this, a suite that validates in-process fails with
+                # exception EVRs when checkpointed
+                if any(
+                    isinstance(v, dict) and "$PARAMETER" in v
+                    for v in cfg.kwargs.values()
+                ):
+                    bound, _ = build_evaluation_parameters(
+                        cfg.kwargs, params
+                    )
+                    cfg = ExpectationConfiguration(
+                        expectation_type=cfg.expectation_type,
+                        kwargs=bound,
+                        meta=dict(cfg.meta),
+                    )
                 compiled.append(
                     get_compiler(cfg.expectation_type)(i, cfg, df.schema)
                 )
@@ -241,7 +278,7 @@ class CheckpointRunner:
         groups = self._groups(df)
         evrs: Dict[int, ExpectationValidationResult] = dict(errors)
         group_states: List[Dict[str, Any]] = []
-        computed, skipped = 0, 0
+        computed, skipped, failed_groups = 0, 0, 0
         for rc, parser in sorted(domains):
             checks = domains[(rc, parser)]
             tag = (
@@ -266,6 +303,7 @@ class CheckpointRunner:
                         evrs[chk.index] = exception_result(
                             chk.config, exc, tb
                         )
+                failed_groups += len(groups)
                 continue
             group_states.extend(d_states)
             computed += d_comp
@@ -280,6 +318,7 @@ class CheckpointRunner:
                 "groups_total": len(groups) * len(domains),
                 "groups_computed": computed,
                 "groups_resumed": skipped,
+                "groups_failed": failed_groups,
                 "expectation_suite_name": self.suite.name,
                 "engine": "great_expectations_spark.checkpoint",
             },

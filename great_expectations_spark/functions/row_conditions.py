@@ -93,8 +93,18 @@ def domain_condition(
 ) -> Column:
     """Lower a row_condition to a Column per its declared parser:
     the GE mini-DSL for condition_parser="great_expectations", Spark
-    SQL (F.expr) for "spark"/"spark_sql"/None — mirroring the
-    reference's RowConditionParserType dispatch."""
+    SQL (F.expr) for the spark parser names / None — mirroring the
+    reference's RowConditionParserType dispatch. Any OTHER declared
+    parser (pandas, python, sql) raises: feeding e.g. a pandas
+    .query() string to F.expr can parse successfully with different
+    semantics (& as bitwise-and, different precedence) and silently
+    validate the wrong row domain."""
     if condition_parser in ("great_expectations", "ge"):
         return parse_condition_to_spark(row_condition)
-    return F.expr(row_condition)
+    if condition_parser in (None, "", "spark", "spark_sql",
+                            "spark_dataframe"):
+        return F.expr(row_condition)
+    raise ConditionParserError(
+        f"unsupported condition_parser {condition_parser!r} for the "
+        "Spark engine (use 'great_expectations' or 'spark')"
+    )

@@ -599,38 +599,6 @@ def _spark_shingles_col():
     )
 
 
-def _spark_minhash_cols(shingles):
-    # One md5 per shingle; the 8 hash functions are the digest's 8
-    # disjoint 4-hex (16-bit) windows — the single-permutation trick
-    # that cuts hashing 8x vs seeded per-function md5s. 16-bit minima
-    # admit more ties than 64-bit ones, i.e. somewhat more candidate
-    # pairs; those are exactly what the n-gram Jaccard verification
-    # kernel downstream filters, so LSH recall is unaffected. Hex
-    # strings compare lexicographically == numerically (fixed width,
-    # lowercase), so array_min is a valid min-hash.
-    digests = F.transform(shingles, lambda sgl: F.md5(sgl))
-    mh = [
-        F.array_min(
-            F.transform(
-                digests, _substr_window(4 * j + 1)
-            )
-        )
-        for j in range(_N_MINHASH)
-    ]
-    return [
-        F.substring(F.md5(F.concat(mh[2 * b], mh[2 * b + 1])), 1, 12).alias(
-            f"band{b}"
-        )
-        for b in range(_BANDS)
-    ]
-
-
-def _substr_window(start: int):
-    # single-arg closure factory: a two-arg lambda would be treated by
-    # F.transform as an (element, index) lambda
-    return lambda h: F.substring(h, start, 4)
-
-
 _MINHASH_DUCK_SIGS = """
     SELECT doc_id,
            {bands}
@@ -1072,7 +1040,14 @@ def _ivf_centroids(e: DataFrame) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    dim = len(e.select("embedding").first()["embedding"])
+    first = e.select("embedding").where(
+        F.col("embedding").isNotNull()
+    ).first()
+    if first is None:  # empty corpus -> no centroids, not a crash
+        return e.sparkSession.createDataFrame(
+            [], "label int, cvec array<double>"
+        )
+    dim = len(first["embedding"])
 
     def partials(batches):
         sums: dict = {}

@@ -302,3 +302,58 @@ def test_checkpoint_deferred_zscore(spark, tmp_path):
     zr = got.results[0].result
     assert zr["element_count"] == 2000
     assert zr["unexpected_count"] > 0
+
+
+def test_checkpoint_binds_evaluation_parameters(spark, tmp_path):
+    """A suite using {"$PARAMETER": ...} must checkpoint identically
+    to in-process validate (the runner binds parameters at compile)."""
+    path = make_table(spark, tmp_path, n=800)
+    df = spark.read.parquet(path)
+    suite = ges.suite("ep-ckpt")
+    suite.evaluation_parameters = {"lo": 1, "hi": 64}
+    suite.expect(
+        "expect_column_mean_to_be_between",
+        column="w",
+        min_value={"$PARAMETER": "lo"},
+        max_value={"$PARAMETER": "hi"},
+    )
+    expected = ges.validate(df, suite, result_format="SUMMARY")
+    assert expected.success
+    got = CheckpointRunner(
+        spark, path, suite, str(tmp_path / "state_ep"), "rep",
+        group_col="fmt",
+    ).run()
+    _assert_parity(expected, got)
+    # runtime parameters override the suite's
+    got2 = CheckpointRunner(
+        spark, path, suite, str(tmp_path / "state_ep2"), "rep2",
+        group_col="fmt", evaluation_parameters={"hi": 2},
+    ).run()
+    assert got2.results[0].success is False
+
+
+def test_checkpoint_null_vs_literal_null_group(spark, tmp_path):
+    """A literal string group '__null__' must not collide with the
+    NULL group's state file (injective percent-encoded naming)."""
+    df = images_df(spark, n_rows=600, seed=4).withColumn(
+        "fmt",
+        F.when(F.crc32(F.col("image_id")) % 3 == 0, F.lit(None))
+        .when(F.crc32(F.col("image_id")) % 3 == 1, F.lit("__null__"))
+        .otherwise(F.col("fmt")),
+    )
+    path = str(tmp_path / "imgs_nl")
+    df.write.mode("overwrite").parquet(path)
+    persisted = spark.read.parquet(path)
+    suite = ges.suite("nl").expect(
+        "expect_column_values_to_not_be_null", column="caption",
+        mostly=0.99,
+    )
+    expected = ges.validate(persisted, suite, result_format="SUMMARY")
+    state = str(tmp_path / "state_nl")
+    got = CheckpointRunner(
+        spark, path, suite, state, "rnl", group_col="fmt"
+    ).run()
+    _assert_parity(expected, got)
+    files = os.listdir(os.path.join(state, "run=rnl", "groups"))
+    assert "__null__.json" in files          # the NULL group
+    assert "v__null__.json" in files         # the literal string
