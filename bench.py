@@ -338,8 +338,20 @@ def main() -> None:
     steal_jiffies = _read_steal() - steal0
     low, high = scal[n_lo], scal[n_hi]
     pairs = scal["pairs"]
-    best_pair = max(pairs, key=lambda p: p["efficiency"])
-    effs = sorted(p["efficiency"] for p in pairs)
+    # Physical-plausibility rejection: this workload has no mechanism
+    # for super-linear 4->16 scaling (no per-core cache win, same GC
+    # budget, identical splits), so a pair with efficiency > ~1 means
+    # its LOW sample ran in a contaminated window (observed: lo=23.5s
+    # vs 13.6s quiet, yielding a nonsense 1.20 "efficiency"). Such
+    # pairs are marked rejected and excluded from BOTH the best-pair
+    # headline and the median — rejection is based only on physical
+    # impossibility, never on distance from the 0.8 target.
+    for pr in pairs:
+        pr["rejected_lo_contaminated"] = pr["efficiency"] > 1.02
+    valid = [pr for pr in pairs if not pr["rejected_lo_contaminated"]]
+    basis = valid or pairs
+    best_pair = max(basis, key=lambda pr: pr["efficiency"])
+    effs = sorted(pr["efficiency"] for pr in basis)
     median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
         (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
     )
@@ -380,9 +392,13 @@ if __name__ == "__main__":
     import sys as _sys
 
     if len(_sys.argv) >= 3 and _sys.argv[1] == "--suite-run":
-        # two timed samples per fresh JVM: the session+full-warmup
-        # cost is paid once per spawn, so a second sample is nearly
-        # free and doubles the per-window sampling density
-        print(json.dumps(_suite_runs_at(int(_sys.argv[2]), 2)))
+        # multiple timed samples per fresh JVM: the session+full-
+        # warmup cost is paid once per spawn, so extra samples are
+        # nearly free. The LOW level gets one more — its samples are
+        # 3x longer, so a mid-spawn weather change contaminates its
+        # min more easily (observed 13.6s..23.5s within one bench)
+        cores = int(_sys.argv[2])
+        reps = 3 if cores == min(SCALE_LEVELS) else 2
+        print(json.dumps(_suite_runs_at(cores, reps)))
     else:
         main()
