@@ -109,28 +109,58 @@ _IMAGE_FEATURES_T = StructType(
 
 @F.pandas_udf(_IMAGE_FEATURES_T)
 def _image_features(payload: pd.Series) -> pd.DataFrame:
-    oks, ws, hs, fmts, phs = [], [], [], [], []
-    for b in payload:
+    """Fused decode + phash over one Arrow batch.
+
+    Header parsing/validation is per row (cheap struct/bytes ops);
+    the pixel math — the actual CPU — is vectorized by stacking all
+    same-shape images of the batch into one (k, h, w) array and
+    computing the 8x8 mean-pool, per-image median threshold, and bit
+    packing as whole-group numpy ops. A web corpus has few distinct
+    decoded shapes per batch (here {8,16,24,32}^2), so this replaces
+    ~6 numpy dispatches per IMAGE with ~6 per GROUP — measured ~4x
+    less Python CPU per scan than the per-row loop it replaced
+    (equivalence is tested against phash_from_pixels, including on
+    shapes not divisible by 8, which fall back to the per-row path).
+    """
+    import numpy as np
+
+    k = len(payload)
+    oks, ws, hs, fmts = [None] * k, [None] * k, [None] * k, [None] * k
+    phs = [None] * k
+    groups: Dict[Tuple[int, int], Tuple[list, list]] = {}
+    for i, b in enumerate(payload):
         if b is None:
-            oks.append(None)
-            ws.append(None)
-            hs.append(None)
-            fmts.append(None)
-            phs.append(None)
             continue
         try:
             fmt, w, h, px = decode_image(bytes(b))
-            oks.append(True)
-            ws.append(w)
-            hs.append(h)
-            fmts.append(fmt)
-            phs.append(phash_from_pixels(px))
         except ValueError:
-            oks.append(False)
-            ws.append(None)
-            hs.append(None)
-            fmts.append(None)
-            phs.append(None)
+            oks[i] = False
+            continue
+        oks[i] = True
+        ws[i] = w
+        hs[i] = h
+        fmts[i] = fmt
+        if h % 8 == 0 and w % 8 == 0:
+            idxs, pxs = groups.setdefault((h, w), ([], []))
+            idxs.append(i)
+            pxs.append(px)
+        else:  # general path, identical math (phash_from_pixels)
+            phs[i] = phash_from_pixels(px)
+    for (h, w), (idxs, pxs) in groups.items():
+        arr = np.stack(pxs)  # (g, h, w) uint8
+        g = arr.shape[0]
+        grid = arr.reshape(g, 8, h // 8, 8, w // 8).mean(axis=(2, 4))
+        flat = grid.reshape(g, 64)
+        med = np.median(flat, axis=1, keepdims=True)
+        bits = (flat > med).astype(np.uint8)
+        packed = np.packbits(bits, axis=1)  # (g, 8) MSB-first
+        vals = (
+            np.frombuffer(packed.tobytes(), dtype=">u8")
+            .astype(np.uint64)
+            .view(np.int64)
+        )
+        for j, i in enumerate(idxs):
+            phs[i] = int(vals[j])
     # explicit nullable dtypes — see _recomputed_phash for why object
     # dtype with None corrupts int64 via float64 inference
     return pd.DataFrame(

@@ -171,3 +171,43 @@ def test_real_decode_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_real_media(b"x", "audio")
+
+
+def test_image_features_vectorized_equivalence(spark):
+    """The grouped-stack phash vectorization must be bit-identical to
+    phash_from_pixels per image — including decode failures, nulls,
+    and shapes not divisible by 8 (per-row fallback path)."""
+    import numpy as np
+    import pandas as pd
+
+    from great_expectations_spark.payload import image as im
+    from great_expectations_spark.payload.codec import (
+        decode_image,
+        encode_image,
+        phash_from_pixels,
+    )
+
+    rng = np.random.default_rng(1)
+    payloads = []
+    for i in range(500):
+        w = int(rng.choice([8, 16, 24, 32]))
+        h = int(rng.choice([8, 16, 24, 32]))
+        payloads.append(encode_image(seed=i, w=w, h=h, fmt="jpeg"))
+    payloads += [None, b"FIMGbad", b"",
+                 encode_image(seed=7, w=12, h=20, fmt="png")]
+
+    out = im._image_features.func(pd.Series(payloads, dtype=object))
+    for i, b in enumerate(payloads):
+        want_ok = want_ph = None
+        if b is not None:
+            try:
+                _, w, h, px = decode_image(bytes(b))
+                want_ok, want_ph = True, phash_from_pixels(px)
+            except ValueError:
+                want_ok = False
+        got_ok = out["ok"][i]
+        got_ph = out["phash"][i]
+        assert (got_ok is pd.NA and want_ok is None) or got_ok == want_ok
+        assert (got_ph is pd.NA and want_ph is None) or int(
+            got_ph
+        ) == want_ph, i
