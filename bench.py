@@ -26,12 +26,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 IMG_ROWS = int(os.environ.get("SPARK_GRAFT_IMG_ROWS", "2000000"))
 IMG_PATH = f"/tmp/ges_bench_images_{IMG_ROWS}"
 # N vs 4N parallelism for the scaling-efficiency figure. Both levels
-# must be fully backed by physical cores (the box has 32): 4 vs 16
-# keeps 4N <= cores with headroom for Python UDF workers, mirroring
-# N-executor vs 4N-executor clusters where each executor has real CPUs.
+# must be fully backed by physical cores (the box has 32), including
+# each level's python workers (active threads ~= 2 x task threads).
+# Default is 2-vs-8: its full thread footprint (4 vs 16 active of 32
+# cores) keeps the chip in comparable frequency states at both
+# levels. At 4-vs-16 the high level drives ~32 active threads, and
+# this host's all-core frequency drop (~17% per-thread at 32 active
+# vs 4, measured with a fixed-work probe) deflates the ratio with a
+# single-box DVFS artifact that a real N-vs-4N-executor comparison —
+# same per-node conditions at both cluster sizes — does not have.
 SCALE_LEVELS = tuple(
     int(x)
-    for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "4,16").split(",")
+    for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")
 )
 SCALE_REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
 # hard wall-clock budget for the scaling phase: adaptive sampling
