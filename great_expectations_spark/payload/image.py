@@ -38,57 +38,7 @@ from pyspark.sql.types import (
 
 from ..operators.checks import MapCheck
 from ..operators.common import decode_single, get_mostly, json_value
-from .codec import decode_image, phash64, phash_from_pixels
-
-
-@F.pandas_udf(BooleanType())
-def _decodable(payload: pd.Series) -> pd.Series:
-    def ok(b):
-        if b is None:
-            return None
-        try:
-            decode_image(bytes(b))
-            return True
-        except ValueError:
-            return False
-
-    # explicit nullable dtype: object-dtype Series with None triggers a
-    # lossy inference path in Arrow conversion (see _recomputed_phash)
-    return pd.Series([ok(b) for b in payload], dtype="boolean")
-
-
-# explicit StructType: DDL-string return types are parsed eagerly at
-# decoration time in PySpark 4.x and require an active session
-_DECODED_META_T = StructType(
-    [
-        StructField("w", IntegerType()),
-        StructField("h", IntegerType()),
-        StructField("fmt", StringType()),
-    ]
-)
-
-
-@F.pandas_udf(_DECODED_META_T)
-def _decoded_meta(payload: pd.Series) -> pd.DataFrame:
-    """Batch-decode: returns (w, h, fmt) per payload, nulls on failure."""
-    ws, hs, fmts = [], [], []
-    for b in payload:
-        try:
-            fmt, w, h, _ = decode_image(bytes(b)) if b is not None else (None,) * 4
-            ws.append(w)
-            hs.append(h)
-            fmts.append(fmt)
-        except ValueError:
-            ws.append(None)
-            hs.append(None)
-            fmts.append(None)
-    return pd.DataFrame(
-        {
-            "w": pd.array(ws, dtype="Int32"),
-            "h": pd.array(hs, dtype="Int32"),
-            "fmt": pd.array(fmts, dtype="string"),
-        }
-    )
+from .codec import decode_image, phash_from_pixels
 
 
 # Fused single-decode feature extractor: every image check derives its
@@ -161,8 +111,11 @@ def _image_features(payload: pd.Series) -> pd.DataFrame:
         )
         for j, i in enumerate(idxs):
             phs[i] = int(vals[j])
-    # explicit nullable dtypes — see _recomputed_phash for why object
-    # dtype with None corrupts int64 via float64 inference
+    # explicit nullable dtypes are load-bearing: an object-dtype
+    # Series that contains a None routes the Arrow conversion through
+    # float64 inference, silently corrupting int64 values above 2^53
+    # (observed on PySpark 4.1: ~512-ulp errors on 62-bit phashes ->
+    # mass false violations, nondeterministic by batch)
     return pd.DataFrame(
         {
             "ok": pd.array(oks, dtype="boolean"),
@@ -172,24 +125,6 @@ def _image_features(payload: pd.Series) -> pd.DataFrame:
             "phash": pd.array(phs, dtype="Int64"),
         }
     )
-
-
-@F.pandas_udf(LongType())
-def _recomputed_phash(payload: pd.Series) -> pd.Series:
-    def compute(b):
-        if b is None:
-            return None
-        try:
-            return phash64(bytes(b))
-        except ValueError:
-            return None
-
-    # MUST be nullable Int64: `payload.map(...)` would yield an
-    # object-dtype Series, and when a batch contains a None the
-    # Arrow conversion routes int64 values through float64, silently
-    # corrupting hashes above 2^53 (observed on PySpark 4.1: ~512-ulp
-    # errors on 62-bit phashes → mass false violations)
-    return pd.Series([compute(b) for b in payload], dtype="Int64")
 
 
 def _image_map_check(
