@@ -256,13 +256,19 @@ def run_scaling(levels, repeats: int) -> dict:
     recorded so any round's number can be read against the contention
     it ran under.
 
-    The round count is FIXED at 2*max(repeats,2) (budget permitting)
-    and never depends on the observed efficiencies — a stopping rule
+    The round count is 2*max(repeats,2) (budget permitting) and never
+    depends on the observed EFFICIENCIES — a stopping rule
     conditioned on reaching the target would make the reported max an
-    optionally-stopped, upward-biased estimator. Alongside the best
-    pair the artifact reports the MEDIAN pair efficiency, which is
-    robust to the one-sided steal contamination without the max's
-    selection optimism; read them together.
+    optionally-stopped, upward-biased estimator. One extension exists
+    and it is gated on the independently-measured CONFOUNDER, not the
+    outcome: if no round so far ran in a quiet window (per-pair steal
+    under 500 jiffies), up to 2 extra rounds are attempted — steal is
+    recorded by the hypervisor regardless of what the pair measured,
+    so this cannot select for high efficiency, only for clean
+    measurement conditions. Alongside the best pair the artifact
+    reports the MEDIAN pair efficiency, which is robust to the
+    one-sided steal contamination without the max's selection
+    optimism; read them together.
     """
     acc = {c: {"times": [], "phases": [], "rows": 0, "expectations": 0}
            for c in levels}
@@ -273,12 +279,19 @@ def run_scaling(levels, repeats: int) -> dict:
     rounds = 0
     t_start = time.time()
     last_round_dt = 0.0
+
+    def any_quiet_round():
+        return any(p["steal_jiffies"] < 500 for p in pairs)
+
     while rounds == 0 or (
         # don't START a round the budget can't fit: a round launched
         # at budget-minus-epsilon can run minutes past it when the
         # host is slow (each sample is a full suite validation)
         time.time() - t_start + 1.2 * last_round_dt < SCALE_BUDGET_S
-        and rounds < 2 * max(repeats, 2)
+        and (
+            rounds < 2 * max(repeats, 2)
+            or (rounds < 2 * max(repeats, 2) + 2 and not any_quiet_round())
+        )
     ):
         t_round = time.time()
         steal0 = _read_steal()
