@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_simhash",
     "ngram_jaccard_adjacent",
     "embedding_cosine_topk",
+    "dedup_embedding_neardup",
     "ann_ivf_topk",
     "text_quality_scores",
     "token_count_by_source",
