@@ -31,8 +31,9 @@ IMG_PATH = f"/tmp/ges_bench_images_{IMG_ROWS}"
 # Default is 2-vs-8: its full thread footprint (4 vs 16 active of 32
 # cores) keeps the chip in comparable frequency states at both
 # levels. At 4-vs-16 the high level drives ~32 active threads, and
-# this host's all-core frequency drop (~17% per-thread at 32 active
-# vs 4, measured with a fixed-work probe) deflates the ratio with a
+# this host's all-core frequency/contention drop (4-18% per-thread
+# at 32 active vs 4 across windows, tools/freq_probe.py) deflates
+# the ratio with a
 # single-box DVFS artifact that a real N-vs-4N-executor comparison —
 # same per-node conditions at both cluster sizes — does not have.
 SCALE_LEVELS = tuple(
