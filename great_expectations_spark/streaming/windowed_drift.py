@@ -1,0 +1,138 @@
+"""Watermarked event-time windowed drift validation.
+
+Extends the foreachBatch bridge (validate_stream.py) with the one
+genuinely STREAMING check a validation engine needs: "did this
+column's distribution drift inside each event-time window?" —
+computed with built-in Structured Streaming operators only:
+
+    readStream
+      -> withWatermark(ts_col, watermark)        late data bounded
+      -> groupBy(window(ts_col, window_len))
+           .agg(one conditional count per baseline bin)   incremental
+      -> per-window PSI vs the profiled baseline           projection
+
+No applyInPandasWithState and no foreachBatch: conditional sums over
+a time window ARE the engine's fused-agg pattern, so Spark maintains
+O(#open windows x #bins) state, handles late arrivals up to the
+watermark, and evicts closed windows — the same math as the batch
+psi_drift check (operators/distribution.py), just grouped by
+event-time window.
+
+The baseline is a categorical/continuous partition object exactly as
+`profile_table` emits (bins + weights), so batch-profiled baselines
+drive streaming monitors without conversion.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# PSI epsilon — same smoothing as the batch PSI implementation so a
+# windowed result over identical rows matches the batch number
+_EPS = 1e-6
+
+
+def _bin_condition(col: Column, bins: List[float], i: int) -> Column:
+    lo, hi = bins[i], bins[i + 1]
+    if i == len(bins) - 2:
+        return (col >= F.lit(lo)) & (col <= F.lit(hi))
+    return (col >= F.lit(lo)) & (col < F.lit(hi))
+
+
+def windowed_psi_drift(
+    stream_df: DataFrame,
+    column: str,
+    baseline: Dict[str, Any],
+    ts_col: str = "ts",
+    window_len: str = "10 minutes",
+    watermark: str = "5 minutes",
+    slide: Optional[str] = None,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Streaming DataFrame of per-window PSI against a baseline
+    partition ({"bins": [...], "weights": [...]} — profile_table's
+    numeric partition object, or {"values": [...], "weights": [...]}
+    for categoricals).
+
+    Output columns: window_start, window_end, n, psi, drifted.
+    Append-mode sinks emit each window once its watermark passes.
+    """
+    c = F.col(column)
+    if "bins" in baseline:
+        bins = [float(b) for b in baseline["bins"]]
+        weights = list(baseline["weights"])
+        conds = [
+            _bin_condition(c, bins, i) for i in range(len(bins) - 1)
+        ]
+    else:
+        values = list(baseline["values"])
+        weights = list(baseline["weights"])
+        conds = [c == F.lit(v) for v in values]
+
+    counts = [
+        F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i}")
+        for i, cond in enumerate(conds)
+    ]
+    w = F.window(F.col(ts_col), window_len, slide or window_len)
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), *counts)
+    )
+
+    total_binned = sum(
+        (F.col(f"b{i}") for i in range(1, len(conds))),
+        F.col("b0"),
+    )
+    psi_terms = []
+    for i, base_w in enumerate(weights):
+        actual = F.col(f"b{i}") / F.greatest(total_binned, F.lit(1))
+        a = F.greatest(actual, F.lit(_EPS))
+        b = F.lit(max(float(base_w), _EPS))
+        psi_terms.append((a - b) * F.log(a / b))
+    psi = sum(psi_terms[1:], psi_terms[0])
+
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n"),
+        F.round(psi, 6).alias("psi"),
+        (psi > F.lit(threshold)).alias("drifted"),
+    )
+
+
+def start_windowed_drift_monitor(
+    stream_df: DataFrame,
+    column: str,
+    baseline: Dict[str, Any],
+    result_path: str,
+    checkpoint_dir: str,
+    ts_col: str = "ts",
+    window_len: str = "10 minutes",
+    watermark: str = "5 minutes",
+    threshold: float = 0.2,
+    trigger_available_now: bool = True,
+):
+    """Run the windowed drift check to a parquet sink (append mode —
+    one row per closed window); returns the StreamingQuery."""
+    out = windowed_psi_drift(
+        stream_df,
+        column,
+        baseline,
+        ts_col=ts_col,
+        window_len=window_len,
+        watermark=watermark,
+        threshold=threshold,
+    )
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", result_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,8 +1,12 @@
 """Salted skew helpers (exact-equivalence vs unsalted plans) and
 micro-batch streaming validation."""
 
+import datetime
 import glob
 import json
+import os
+
+import pytest
 
 from pyspark.sql import functions as F
 
@@ -108,3 +112,110 @@ def test_streaming_validation(spark, tmp_path):
     )
     assert total == 500
     assert all(r["success"] for r in recs)
+
+
+def test_windowed_psi_drift_stream(spark, tmp_path):
+    """Watermarked windowed PSI: a file stream whose later window
+    shifts distribution must flag exactly that window, and the
+    per-window PSI must match the batch PSI over the same rows."""
+    import math
+
+    from great_expectations_spark.streaming.windowed_drift import (
+        start_windowed_drift_monitor,
+        windowed_psi_drift,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+
+    def rows(base_ts, n, lo, hi, seed):
+        import random
+
+        rnd = random.Random(seed)
+        return [
+            (
+                datetime.datetime.fromtimestamp(
+                    base_ts + rnd.uniform(0, 500),
+                    tz=datetime.timezone.utc,
+                ),
+                rnd.uniform(lo, hi),
+            )
+            for _ in range(n)
+        ]
+
+    t0 = 1_700_000_400  # multiple of 600s: rows stay inside one window
+    schema = "ts timestamp, v double"
+    # window 1: values in [0, 10) (baseline-like)
+    spark.createDataFrame(rows(t0, 400, 0, 10, 1), schema).write.mode(
+        "overwrite"
+    ).parquet(src + "/f1.parquet")
+    # window 2 (t0 + 600s): values shifted to [5, 15)
+    spark.createDataFrame(
+        rows(t0 + 600, 400, 5, 15, 2), schema
+    ).write.mode("overwrite").parquet(src + "/f2.parquet")
+
+    baseline = {
+        "bins": [0.0, 2.5, 5.0, 7.5, 10.0],
+        "weights": [0.25, 0.25, 0.25, 0.25],
+    }
+
+    # a third file with one sentinel event advances the watermark so
+    # window 2 can CLOSE (append mode emits a window only once the
+    # watermark passes its end — the final window of a drained stream
+    # otherwise never emits); maxFilesPerTrigger=1 forces one file
+    # per micro-batch so the watermark advances between files
+    spark.createDataFrame(
+        rows(t0 + 1300, 1, 0, 10, 3), schema
+    ).write.mode("overwrite").parquet(src + "/f3.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    q = start_windowed_drift_monitor(
+        stream,
+        "v",
+        baseline,
+        result_path=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        ts_col="ts",
+        window_len="10 minutes",
+        watermark="0 seconds",
+        threshold=0.2,
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    got = {
+        r.window_start.timestamp(): (r.n, r.psi, r.drifted)
+        for r in out.collect()
+    }
+    assert len(got) == 2
+    (n1, psi1, d1) = got[float(t0)]
+    (n2, psi2, d2) = got[float(t0 + 600)]
+    assert (n1, n2) == (400, 400)
+    assert not d1 and psi1 < 0.2
+    assert d2 and psi2 > 0.2
+
+    # cross-check one window's PSI against a batch computation over
+    # the identical rows
+    batch = spark.read.parquet(src + "/f2.parquet")
+    eps = 1e-6
+    counts = [0] * 4
+    vals = [r.v for r in batch.collect()]
+    binned = 0
+    for v in vals:
+        for i, (lo, hi) in enumerate(
+            zip(baseline["bins"], baseline["bins"][1:])
+        ):
+            last = i == 3
+            if (v >= lo and v < hi) or (last and v >= lo and v <= hi):
+                counts[i] += 1
+                binned += 1
+                break
+    psi_ref = 0.0
+    for i, w in enumerate(baseline["weights"]):
+        a = max(counts[i] / max(binned, 1), eps)
+        b = max(w, eps)
+        psi_ref += (a - b) * math.log(a / b)
+    assert psi2 == pytest.approx(round(psi_ref, 6), abs=2e-6)
