@@ -33,9 +33,9 @@ IMG_PATH = f"/tmp/ges_bench_images_{IMG_ROWS}"
 # levels. At 4-vs-16 the high level drives ~32 active threads, and
 # this host's all-core frequency/contention drop (4-18% per-thread
 # at 32 active vs 4 across windows, tools/freq_probe.py) deflates
-# the ratio with a
-# single-box DVFS artifact that a real N-vs-4N-executor comparison —
-# same per-node conditions at both cluster sizes — does not have.
+# the ratio with a single-box DVFS artifact that a real N-vs-4N
+# executor comparison (same per-node conditions at both cluster
+# sizes) does not have.
 SCALE_LEVELS = tuple(
     int(x)
     for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "2,8").split(",")

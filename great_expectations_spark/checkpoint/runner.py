@@ -44,7 +44,8 @@ from typing import Any, Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core.config import ExpectationSuite
+from ..core.config import ExpectationConfiguration, ExpectationSuite
+from ..core.evaluation_parameters import build_evaluation_parameters
 from ..functions.row_conditions import domain_condition
 from ..core.result import (
     ExpectationSuiteValidationResult,
@@ -185,11 +186,6 @@ class CheckpointRunner:
     # -- per-group work -------------------------------------------------------
 
     def _compile(self, df: DataFrame):
-        from ..core.config import ExpectationConfiguration
-        from ..core.evaluation_parameters import (
-            build_evaluation_parameters,
-        )
-
         params = dict(
             getattr(self.suite, "evaluation_parameters", None) or {}
         )

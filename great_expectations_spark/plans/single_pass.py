@@ -25,8 +25,10 @@ than ~3x 128 MB of JSON-encoded values, per check), which is
 survivable but not the O(K) an ideal bounded aggregator would give;
 Spark has no built-in early-truncating collect, so a true O(K) bound
 needs a custom JVM UDAF (future work, not worth a Python UDAF that
-would drag every row through Arrow). Aggregates that cannot be merged from partition
-partials (countDistinct) go to a LEFTOVER df.agg job — which Catalyst
+would drag every row through Arrow).
+
+Aggregates that cannot be merged from partition partials
+(countDistinct) go to a LEFTOVER df.agg job — which Catalyst
 column-prunes, so it never touches payload columns and costs a cheap
 scalar scan.
 
@@ -232,7 +234,7 @@ def _second_level_exprs(
             n_tot = F.sum(n)
             s1 = F.sum(mean * n)  # sum of values
             exprs.append(n_tot.alias(n_a))
-            exprs.append((F.sum(mean * n) / F.sum(n)).alias(mean_a))
+            exprs.append((s1 / n_tot).alias(mean_a))
             exprs.append(
                 (
                     F.sum(m2)

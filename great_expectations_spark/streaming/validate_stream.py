@@ -8,10 +8,10 @@ agg per batch) and the per-batch suite results are appended to a
 results sink, giving a continuously-updating validation log with
 exactly the same EVR schema as batch runs.
 
-No stateful operators are used — validation is per-micro-batch by
-design (a suite over "the stream so far" would require unbounded
-state; windowed drift over event-time is future work and would sit on
-applyInPandasWithState)."""
+No stateful operators are used here — validation is per-micro-batch
+by design (a suite over "the stream so far" would require unbounded
+state). Event-time windowed drift lives in windowed_drift.py, built
+on watermarked windowed aggregation."""
 
 from __future__ import annotations
 

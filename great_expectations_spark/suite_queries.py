@@ -826,7 +826,9 @@ def dedup_minhash_hot_buckets(
     buckets exist, how many exceeded _LSH_BUCKET_CAP (and thus
     switched to star pairs in dedup_minhash_pairs), and the largest
     bucket. No silent caps — this is the query an operator runs to
-    see exactly what the cap did to a corpus."""
+    see exactly what the cap did to a corpus. Recomputes the
+    signature projection (cheap); at production scale signatures are
+    materialized once and shared with the pair query."""
     sigs = dedup_minhash_signatures(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -953,6 +955,21 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+def _vec_dot(x, y):
+    """JVM array-expression dot product (no Python)."""
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _vec_cos(x, y):
+    return _vec_dot(x, y) / (
+        F.sqrt(_vec_dot(x, x)) * F.sqrt(_vec_dot(y, y))
+    )
+
+
 @register(
     "dedup_embedding_neardup",
     """
@@ -980,15 +997,6 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Dot products are JVM array expressions — no Python."""
     e = _t(spark, sf_dir, "embeddings")
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda p, q: p * q),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def cos(x, y):
-        return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
     a = e.select(
         F.col("label"),
@@ -1001,7 +1009,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("vb"),
     )
     pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
-    sim = cos(F.col("va"), F.col("vb"))
+    sim = _vec_cos(F.col("va"), F.col("vb"))
     # the synthetic embeddings table has no injected true dups (max
     # in-bucket cosine ~0.48), so the gate threshold sits at the top
     # of the actual distribution to keep the output non-trivial; a
@@ -1009,6 +1017,8 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(sim >= 0.35).select(
         "vec_a", "vec_b", F.round(sim, 6).alias("sim")
     )
+
+
 
 # --- similarity search over embeddings --------------------------------------
 
@@ -1045,17 +1055,7 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("cv"),
     )
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    sim = dot(F.col("qv"), F.col("cv")) / (
-        F.sqrt(dot(F.col("qv"), F.col("qv")))
-        * F.sqrt(dot(F.col("cv"), F.col("cv")))
-    )
+    sim = _vec_cos(F.col("qv"), F.col("cv"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -1224,15 +1224,6 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
     cent = _ivf_centroids(e)
 
-    def dot(x, y):
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-
-    def cos(x, y):
-        return dot(x, y) / (F.sqrt(dot(x, x)) * F.sqrt(dot(y, y)))
 
     q = e.where(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
@@ -1247,7 +1238,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "qv",
             "label",
-            cos(F.col("qv"), F.col("cvec")).alias("csim"),
+            _vec_cos(F.col("qv"), F.col("cvec")).alias("csim"),
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
@@ -1268,7 +1259,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "assigned_label",
             "neighbor_id",
-            cos(F.col("qv"), F.col("cv")).alias("full_sim"),
+            _vec_cos(F.col("qv"), F.col("cv")).alias("full_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
