@@ -1,10 +1,14 @@
 """Benchmark harness: headline operator queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], plus the
 flagship image+caption suite validation at TWO parallelism levels
-(local[4] vs local[16], both fully core-backed) over the same
-materialized table — the sandbox stand-in for the north rule's
-N-vs-4N-executor scaling criterion (BASELINE.json). Prints ONE JSON
-line.
+(local[2] vs local[8] by default — N vs 4N, both fully core-backed)
+over the same materialized table — the sandbox stand-in for the north
+rule's N-vs-4N-executor scaling criterion (BASELINE.json).
+
+Prints ONE compact JSON line (the driver artifact); per-run detail
+goes to BENCH_DETAILS.json. The headline scaling_efficiency is the
+MEDIAN efficiency over clean pairs measured in quiet host windows
+(steal < 500 jiffies); the best pair is reported separately.
 
 Usage: python bench.py
 """
@@ -65,7 +69,9 @@ HEADLINE = [
     "ngram_jaccard_adjacent",
     "embedding_cosine_topk",
     "dedup_embedding_neardup",
+    "embedding_bucket_stats",
     "ann_ivf_topk",
+    "ann_kmeans_topk",
     "text_quality_scores",
     "token_count_by_source",
     "doc_fingerprints",
@@ -262,8 +268,8 @@ def run_scaling(levels, repeats: int) -> dict:
     guest), so minima taken independently per level routinely come
     from DIFFERENT windows and produce a meaningless ratio (r01
     recorded 0.28 from exactly that artifact). The efficiency of a
-    same-window pair is the controlled estimator; the BEST pair — the
-    least-contaminated window — is the headline number, and every
+    same-window pair is the controlled estimator; the headline is the
+    MEDIAN over clean pairs from quiet windows (see main()), and every
     sample, every per-pair efficiency, and per-pair steal jiffies are
     recorded so any round's number can be read against the contention
     it ran under.
@@ -274,7 +280,7 @@ def run_scaling(levels, repeats: int) -> dict:
     optionally-stopped, upward-biased estimator. One extension exists
     and it is gated on the independently-measured CONFOUNDER, not the
     outcome: if no round so far ran in a quiet window (per-pair steal
-    under 500 jiffies), up to 2 extra rounds are attempted — steal is
+    under 500 jiffies), up to 4 extra rounds are attempted — steal is
     recorded by the hypervisor regardless of what the pair measured,
     so this cannot select for high efficiency, only for clean
     measurement conditions. Alongside the best pair the artifact
@@ -299,14 +305,19 @@ def run_scaling(levels, repeats: int) -> dict:
         # cannot show window-to-window spread. Beyond that, rounds
         # start only while inside the budget (overshoot is bounded by
         # one round; a guard that also subtracted the previous round
-        # duration starved slow windows down to a single pair).
+        # duration starved slow windows down to a single pair). The
+        # quiet-window extension (up to 4 extra rounds) is gated on
+        # the independently-measured CONFOUNDER (hypervisor steal),
+        # never on the observed efficiencies — the HEADLINE is
+        # computed over quiet pairs only, so a quiet pair must exist
+        # for the artifact to carry a gated number.
         rounds < 2
         or (
             time.time() - t_start < SCALE_BUDGET_S
             and (
                 rounds < 2 * max(repeats, 2)
                 or (
-                    rounds < 2 * max(repeats, 2) + 2
+                    rounds < 2 * max(repeats, 2) + 4
                     and not any_quiet_round()
                 )
             )
@@ -365,6 +376,10 @@ def main() -> None:
     # footer cache, the second (reported) measures steady-state
     per_query = {}
     q_budget = float(os.environ.get("SPARK_GRAFT_QUERY_BUDGET_S", "240"))
+    # the three LSH queries share ONE materialized signature frame —
+    # the pipeline path (their docstrings) instead of tripling the
+    # signature projection inside the bench
+    os.environ["SPARK_GRAFT_SHARE_SIGS"] = "1"
     t_q = time.time()
     for name in HEADLINE:
         fn = qs[name]
@@ -374,6 +389,10 @@ def main() -> None:
         df = fn(spark, SF_DIR)
         n = df.count()
         per_query[name] = round(time.time() - t0, 3)
+    from great_expectations_spark.suite_queries import clear_sigs_cache
+
+    clear_sigs_cache()
+    os.environ.pop("SPARK_GRAFT_SHARE_SIGS", None)
     spark.stop()
 
     # -- scaling: same suite, same table, N vs 4N threads -------------
@@ -400,6 +419,7 @@ def main() -> None:
             pr["efficiency"] > 1.02 or pr["lo_sec"] > 1.25 * min_lo
         )
         pr["rejected_hi_contaminated"] = pr["hi_sec"] > 1.25 * min_hi
+        pr["quiet_window"] = pr["steal_jiffies"] < 500
     valid = [
         pr
         for pr in pairs
@@ -408,18 +428,53 @@ def main() -> None:
             or pr["rejected_hi_contaminated"]
         )
     ]
-    basis = valid or pairs
+    # The HEADLINE basis is quiet-window AND clean pairs: a pair
+    # measured under >=500 steal jiffies carries hypervisor noise no
+    # relative-time rule can fully reject (r02's artifact headlined a
+    # 902-steal pair at 0.748 while quiet windows measured 0.85-0.91).
+    # If no quiet pair exists even after the extension rounds, fall
+    # back to clean pairs and say so via quiet_window_headline=false.
+    quiet = [pr for pr in valid if pr["quiet_window"]]
+    basis = quiet or valid or pairs
+
+    def median_of(prs):
+        effs = sorted(pr["efficiency"] for pr in prs)
+        mid = len(effs) // 2
+        return effs[mid] if len(effs) % 2 else round(
+            (effs[mid - 1] + effs[mid]) / 2, 3
+        )
+
     best_pair = max(basis, key=lambda pr: pr["efficiency"])
-    effs = sorted(pr["efficiency"] for pr in basis)
-    median_eff = effs[len(effs) // 2] if len(effs) % 2 else round(
-        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3
-    )
+    # headline = MEDIAN of the quiet clean pairs (robust, not the
+    # upward-biased max order statistic); the best pair is reported
+    # under its own explicit key
+    median_eff = median_of(basis)
     # cross-window ratio of independent per-level minima, kept for
     # transparency next to the controlled same-window pair estimate
     min_level_eff = low["sec"] / ((n_hi / n_lo) * high["sec"])
 
     total = round(sum(per_query.values()) + low["sec"] + high["sec"], 2)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+    # two artifacts: a COMPACT one-line headline JSON on stdout (the
+    # driver's tail capture must parse it — r02's line embedded every
+    # per-run array and got truncated into "parsed": null) and the
+    # full detail (all runs, phase times, every pair) in
+    # BENCH_DETAILS.json next to this script
+    detail = {
+        f"local{n_lo}": low,
+        f"local{n_hi}": high,
+        "pairs": pairs,
+        "scale_levels": list(SCALE_LEVELS),
+    }
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAILS.json"),
+        "w",
+    ) as f:
+        json.dump(detail, f, indent=1)
+    slim = lambda lv: {  # noqa: E731
+        k: lv[k] for k in ("cores", "rows", "sec", "rows_per_sec")
+    }
     out = {
         "metric": "suite+operator bench total wall time",
         "value": total,
@@ -429,18 +484,24 @@ def main() -> None:
         "image_suite": {
             "rows": high["rows"],
             "expectations": high["expectations"],
-            f"local{n_lo}": low,
-            f"local{n_hi}": high,
-            "pairs": pairs,
+            f"local{n_lo}": slim(low),
+            f"local{n_hi}": slim(high),
             "speedup_%d_to_%d" % (n_lo, n_hi): round(
-                (n_hi / n_lo) * best_pair["efficiency"], 3
+                (n_hi / n_lo) * median_eff, 3
             ),
-            "scaling_efficiency": best_pair["efficiency"],
-            "scaling_efficiency_median_pair": median_eff,
-            "scaling_best_pair": best_pair,
+            "scaling_efficiency": median_eff,
+            "scaling_efficiency_best_pair": round(
+                best_pair["efficiency"], 3
+            ),
+            "quiet_window_headline": bool(quiet),
+            "headline_pairs_used": len(basis),
+            "headline_max_steal_jiffies": max(
+                pr["steal_jiffies"] for pr in basis
+            ),
             "scaling_efficiency_cross_window_min": round(
                 min_level_eff, 3
             ),
+            "rounds_total": len(pairs),
             "host_steal_jiffies_during_measurement": steal_jiffies,
         },
     }

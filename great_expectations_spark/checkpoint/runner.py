@@ -59,7 +59,7 @@ from ..plans.single_pass import (
     merge_stat_rows,
     plan_stat_partials,
     run_single_pass,
-    violation_slice_expr,
+    violation_collect_expr,
 )
 
 
@@ -114,6 +114,7 @@ class CheckpointRunner:
         self.spark = spark
         self.table_path = table_path
         self.suite = suite
+        self.state_dir = state_dir
         self.run_dir = os.path.join(state_dir, f"run={run_id}")
         self.groups_dir = os.path.join(self.run_dir, "groups")
         self.run_id = run_id
@@ -202,8 +203,21 @@ class CheckpointRunner:
                     isinstance(v, dict) and "$PARAMETER" in v
                     for v in cfg.kwargs.values()
                 ):
+                    # URN parameters (urn:great_expectations:
+                    # validations:<suite>:<metric>) resolve against
+                    # THIS checkpoint store's previously persisted
+                    # run results — cross-suite gating (suite B's
+                    # threshold from suite A's stored metric)
+                    from ..core.evaluation_parameters import (
+                        resolve_validation_urn,
+                    )
+
                     bound, _ = build_evaluation_parameters(
-                        cfg.kwargs, params
+                        cfg.kwargs,
+                        params,
+                        urn_resolver=lambda u: resolve_validation_urn(
+                            u, self.state_dir
+                        ),
                     )
                     cfg = ExpectationConfiguration(
                         expectation_type=cfg.expectation_type,
@@ -221,7 +235,7 @@ class CheckpointRunner:
 
     def _run_group(
         self, df: DataFrame, group: Any, partials, violation_exprs,
-        merges=None, viol_caps=None, tag: str = "",
+        merges=None, viol_caps=None, tag: str = "", n_parts=None,
     ) -> Dict[str, Any]:
         t0 = time.time()
         if self.group_col is None:
@@ -234,7 +248,7 @@ class CheckpointRunner:
             gdf = df.where(F.col(self.group_col) == F.lit(group))
         rows = run_single_pass(
             gdf, partials, violation_exprs,
-            merges=merges, viol_caps=viol_caps,
+            merges=merges, viol_caps=viol_caps, n_parts=n_parts,
         )
         out = {
             "group": group if not tag else f"{group}{tag}",
@@ -272,6 +286,10 @@ class CheckpointRunner:
             df, self.suite, result_format=self.result_format
         )
         groups = self._groups(df)
+        # partition count is identical for every group/domain (filters
+        # preserve partitioning) — compute the RDD conversion ONCE per
+        # run instead of once per group per domain
+        n_parts = df.rdd.getNumPartitions()
         evrs: Dict[int, ExpectationValidationResult] = dict(errors)
         group_states: List[Dict[str, Any]] = []
         computed, skipped, failed_groups = 0, 0, 0
@@ -290,7 +308,8 @@ class CheckpointRunner:
                     df.where(domain_condition(rc, parser)) if rc else df
                 )
                 d_states, d_comp, d_skip = self._run_domain(
-                    ddf, checks, tag, groups, validator, evrs
+                    ddf, checks, tag, groups, validator, evrs,
+                    n_parts=n_parts,
                 )
             except Exception as exc:  # noqa: BLE001 - per-domain isolation
                 tb = traceback.format_exc()
@@ -336,6 +355,7 @@ class CheckpointRunner:
         groups: List[Any],
         validator: SparkValidator,
         evrs: Dict[int, ExpectationValidationResult],
+        n_parts: Optional[int] = None,
     ):
         """Checkpointed execution of one row_condition domain:
         per-group single-pass partials (resumable), then the domain's
@@ -365,8 +385,9 @@ class CheckpointRunner:
                 (chk.consider() & cond) if chk.consider is not None else cond
             )
             violation_exprs.append(
-                violation_slice_expr(
-                    full, value, caps[chk.index], f"v{chk.index}"
+                violation_collect_expr(
+                    df.sparkSession, full, value, caps[chk.index],
+                    f"v{chk.index}",
                 )
             )
 
@@ -388,6 +409,7 @@ class CheckpointRunner:
                         f"v{i}": cap for i, cap in caps.items()
                     },
                     tag=tag,
+                    n_parts=n_parts,
                 )
             )
             computed += 1

@@ -73,7 +73,7 @@ from .single_pass import (
     merge_stat_rows,
     plan_stat_partials,
     run_single_pass,
-    violation_slice_expr,
+    violation_collect_expr,
 )
 
 
@@ -428,8 +428,9 @@ class SparkValidator:
                 (chk.consider() & cond) if chk.consider is not None else cond
             )
             violation_exprs.append(
-                violation_slice_expr(
-                    full, value, caps[chk.index], f"v{chk.index}"
+                violation_collect_expr(
+                    df.sparkSession, full, value, caps[chk.index],
+                    f"v{chk.index}",
                 )
             )
 

@@ -16,16 +16,18 @@ parallel variance merge for stddev; above SECOND_LEVEL_FAN_IN
 partitions, an executor-side second-level merge first, so the driver
 receives O(fan_in) rows regardless of partition count).
 
-Violation memory: the slice() bounds what each partition EMITS
-(K values), not what the collect_list buffer accumulates while the
-partition is scanned — a high-violation-rate partition's buffer grows
-to O(violating values in that partition) before the slice applies.
-That is capped by the split size (a 128 MB split cannot buffer more
-than ~3x 128 MB of JSON-encoded values, per check), which is
-survivable but not the O(K) an ideal bounded aggregator would give;
-Spark has no built-in early-truncating collect, so a true O(K) bound
-needs a custom JVM UDAF (future work, not worth a Python UDAF that
-would drag every row through Arrow).
+Violation memory: two tiers. With the ges-spark-udaf jar on the
+session classpath (tools/jvm — a 100-line typed Aggregator, built by
+tools/jvm/build.sh and shipped via spark.jars), the sample aggregates
+in a TRUE O(K) buffer that stops accumulating at the cap
+(violation_collect_expr). Without it, the fallback
+slice(collect_list(when(cond, value))) bounds what each partition
+EMITS (K values) but its buffer grows to O(violating values in the
+partition) before the slice applies — capped by the split size (a
+128 MB split cannot buffer more than ~3x 128 MB of JSON-encoded
+values, per check), survivable but not O(K). Both paths produce
+byte-identical samples (tests/test_jvm_udaf.py); a Python UDAF was
+never an option (it would drag every row through Arrow).
 
 Aggregates that cannot be merged from partition partials
 (countDistinct) go to a LEFTOVER df.agg job — which Catalyst
@@ -181,10 +183,65 @@ def violation_slice_expr(
     """Per-partition violation sample: the collect_list only ever
     holds values for rows matching cond; the slice caps what the
     partition EMITS at K (the in-scan buffer is bounded by the
-    partition's violating values, not by K — see module docstring)."""
+    partition's violating values, not by K — see module docstring).
+    This is the always-available fallback; violation_collect_expr
+    upgrades to a true O(K) buffer when the ges-spark-udaf jar is on
+    the session classpath."""
     return F.slice(
         F.collect_list(F.when(cond, value)), 1, cap
     ).alias(alias)
+
+
+# session id -> whether ges.spark.CappedCollect is reachable (the
+# reflection probe costs a py4j round-trip; memoize per session)
+_JVM_UDAF_AVAILABLE: Dict[int, bool] = {}
+
+
+def _jvm_capped_collect(spark, col: Column, cap: int) -> Optional[Column]:
+    """Column invoking ges.spark.CappedCollect (tools/jvm) if the jar
+    is reachable in the driver JVM, else None. Two lookup paths: the
+    py4j root class loader (jar supplied via spark.jars /
+    spark.driver.extraClassPath at launch) and the thread context
+    class loader (jar supplied via sparkContext.addJar in local
+    mode)."""
+    if spark is None or _JVM_UDAF_AVAILABLE.get(id(spark)) is False:
+        return None
+    jvm = spark._jvm
+    jcol = None
+    try:
+        jcol = jvm.ges.spark.CappedCollect.cappedCollect(col._jc, cap)
+    except Exception:  # noqa: BLE001 - not on the root class loader
+        try:
+            loader = jvm.Thread.currentThread().getContextClassLoader()
+            cls = loader.loadClass("ges.spark.CappedCollect")
+            col_cls = jvm.java.lang.Class.forName(
+                "org.apache.spark.sql.Column"
+            )
+            m = cls.getMethod(
+                "cappedCollect", col_cls, jvm.java.lang.Integer.TYPE
+            )
+            jcol = m.invoke(None, col._jc, cap)
+        except Exception:  # noqa: BLE001 - jar absent: use fallback
+            _JVM_UDAF_AVAILABLE[id(spark)] = False
+            return None
+    _JVM_UDAF_AVAILABLE[id(spark)] = True
+    return Column(jcol)
+
+
+def violation_collect_expr(
+    spark, cond: Column, value: Column, cap: int, alias: str
+) -> Column:
+    """Violation sample with a true O(K) aggregation buffer when the
+    ges-spark-udaf jar (tools/jvm) is on the classpath: the JVM
+    aggregator stops ACCUMULATING at cap, closing the
+    buffer-grows-with-partition-violations bound of the fallback
+    slice(collect_list(...)). Output shape is identical to the
+    fallback (array<string> of transport JSON), so every downstream
+    consumer — driver concat, second-level merge — is unchanged."""
+    jcol = _jvm_capped_collect(spark, F.when(cond, value), cap)
+    if jcol is None:
+        return violation_slice_expr(cond, value, cap, alias)
+    return F.from_json(jcol, "array<string>").alias(alias)
 
 
 # Max rows the driver receives from the single-pass job. At 10^12
@@ -205,10 +262,17 @@ def _second_level_exprs(
     into bucket partials OF THE SAME SHAPE, so the driver-side
     merge_stat_rows runs unchanged on the (far fewer) bucket rows.
 
-    Stats merge in closed form — sums/mins/maxs trivially; the
-    (n, mean, M2) variance triple via the standard parallel-variance
-    identity  M2 = sum(M2_i) + sum(n_i*mean_i^2) - (sum(n_i*mean_i))^2/N
-    (same math as the driver's Chan merge, associative, one pass).
+    Stats merge in closed form — sums/mins/maxs trivially. The
+    (n, mean, M2) variance triple is folded with Chan's pairwise
+    update over the bucket's partials in ascending-pid order (an
+    F.aggregate over a bounded collect_list — a bucket holds at most
+    ceil(partitions/fan_in) rows). The textbook one-pass
+    recombination M2 = sum(M2_i) + sum(n_i*mean_i^2) - s1^2/N is
+    deliberately NOT used: for large-mean/small-spread columns (epoch
+    timestamps; mean/sigma >= ~1e8) its two big terms cancel in
+    float64 and the merged M2 comes out garbage or negative. The fold
+    is numerically identical to the driver-side Chan merge — which is
+    the property this two-level path must preserve.
 
     Violation slices merge as slice(flatten(sort_by_pid(...)), 1, cap):
     the sort keeps the sample deterministic (pid order within bucket,
@@ -230,17 +294,50 @@ def _second_level_exprs(
             exprs.append(F.sum(F.col(n_a)).alias(n_a))
         elif m.kind == "stddev":
             n_a, mean_a, m2_a = m.aliases
-            n, mean, m2 = F.col(n_a), F.col(mean_a), F.col(m2_a)
-            n_tot = F.sum(n)
-            s1 = F.sum(mean * n)  # sum of values
-            exprs.append(n_tot.alias(n_a))
-            exprs.append((s1 / n_tot).alias(mean_a))
+            triples = F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("__pid").alias("p"),
+                        F.col(n_a).cast("double").alias("n"),
+                        F.col(mean_a).alias("m"),
+                        F.col(m2_a).alias("m2"),
+                    )
+                )
+            )
+            init = F.struct(
+                F.lit(0.0).alias("n"),
+                F.lit(0.0).alias("m"),
+                F.lit(0.0).alias("m2"),
+            )
+
+            def _chan(acc, v):
+                # n_i == 0 partials carry NULL means — skip them, as
+                # the driver merge does
+                n_new = acc["n"] + v["n"]
+                delta = v["m"] - acc["m"]
+                return F.when(v["n"] <= 0, acc).otherwise(
+                    F.struct(
+                        n_new.alias("n"),
+                        (
+                            (acc["m"] * acc["n"] + v["m"] * v["n"])
+                            / n_new
+                        ).alias("m"),
+                        (
+                            acc["m2"]
+                            + F.coalesce(v["m2"], F.lit(0.0))
+                            + delta * delta * acc["n"] * v["n"] / n_new
+                        ).alias("m2"),
+                    )
+                )
+
+            merged = F.aggregate(triples, init, _chan)
+            exprs.append(merged["n"].cast("long").alias(n_a))
             exprs.append(
-                (
-                    F.sum(m2)
-                    + F.sum(n * mean * mean)
-                    - s1 * s1 / n_tot
-                ).alias(m2_a)
+                F.when(merged["n"] > 0, merged["m"]).alias(mean_a)
+            )
+            # M2 is a sum of squares: floor at 0 against ulp noise
+            exprs.append(
+                F.greatest(merged["m2"], F.lit(0.0)).alias(m2_a)
             )
     for alias, cap in viol_caps.items():
         sorted_structs = F.array_sort(
@@ -269,6 +366,7 @@ def run_single_pass(
     merges: Optional[Dict[str, "_Merge"]] = None,
     viol_caps: Optional[Dict[str, int]] = None,
     fan_in: Optional[int] = None,
+    n_parts: Optional[int] = None,
 ) -> List[Any]:
     """ONE Spark job: per-partition partial aggregation. No shuffle —
     the grouping key is spark_partition_id(), so Catalyst plans a
@@ -289,8 +387,15 @@ def run_single_pass(
     if fan_in is None:
         fan_in = SECOND_LEVEL_FAN_IN
     lvl1 = df.groupBy(F.spark_partition_id().alias("__pid")).agg(*exprs)
-    n_parts = df.rdd.getNumPartitions()
-    if merges is None or n_parts <= fan_in:
+    if merges is None:
+        return lvl1.collect()
+    if n_parts is None:
+        # df.rdd forces an extra physical-planning/RDD conversion (and
+        # is unavailable under Spark Connect) — callers that invoke
+        # this repeatedly (checkpointed group grids) compute it once
+        # and thread it through; this is the one-shot fallback.
+        n_parts = df.rdd.getNumPartitions()
+    if n_parts <= fan_in:
         return lvl1.collect()
     bucket_span = -(-n_parts // fan_in)  # ceil
     lvl2_exprs = _second_level_exprs(merges, viol_caps or {})

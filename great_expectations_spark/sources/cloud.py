@@ -64,6 +64,14 @@ def azure_spark_confs(
             "org.apache.hadoop.fs.azure.NativeAzureFileSystem$Secure"
         )
     if credential:
+        # NOTE: Spark's default redaction regex
+        # ((?i)secret|password|token|access[.]key) does NOT match
+        # "account.key" — a caller who puts this dict on spark.conf
+        # shows the credential unredacted in the UI environment page
+        # and event logs. read_azure_batch therefore applies this one
+        # key to the Hadoop configuration (off the UI listing); do
+        # the same, or extend spark.redaction.regex with
+        # "account[.]key", if applying these confs yourself.
         confs[f"fs.azure.account.key.{account_host}"] = credential
     return confs
 
@@ -77,9 +85,18 @@ def read_azure_batch(
     schema: Any = None,
 ) -> DataFrame:
     """AzureBatchSpec equivalent: apply the account configs, then the
-    standard reader dispatch on the wasbs/abfss path."""
+    standard reader dispatch on the wasbs/abfss path. The account key
+    goes to the Hadoop configuration, not spark.conf: Spark's default
+    redaction regex does not cover "account.key", so a session conf
+    would display the credential unredacted in the Spark UI
+    environment page and event logs (the reference has that leak,
+    sparkdf_execution_engine.py:279-287; avoidable here)."""
+    hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
     for k, v in azure_spark_confs(path, credential).items():
-        spark.conf.set(k, v)
+        if k.startswith("fs.azure.account.key."):
+            hadoop_conf.set(k, v)
+        else:
+            spark.conf.set(k, v)
     try:
         return read_batch(
             spark,

@@ -357,3 +357,58 @@ def test_checkpoint_null_vs_literal_null_group(spark, tmp_path):
     files = os.listdir(os.path.join(state, "run=rnl", "groups"))
     assert "__null__.json" in files          # the NULL group
     assert "v__null__.json" in files         # the literal string
+
+
+def test_checkpoint_urn_evaluation_parameters(spark, tmp_path):
+    """Cross-suite gating: suite B's threshold comes from suite A's
+    STORED metric via urn:great_expectations:validations:... —
+    the reference's URN-store resolution path
+    (core/evaluation_parameters.py:205-246, core/urn.py) backed by
+    the checkpoint state directory."""
+    path = make_table(spark, tmp_path)
+    state = str(tmp_path / "state")
+
+    suite_a = ges.suite("profile_a").expect(
+        "expect_column_mean_to_be_between", column="w",
+        min_value=0, max_value=100,
+    )
+    res_a = CheckpointRunner(spark, path, suite_a, state, "a1").run()
+    mean_w = res_a.results[0].result["observed_value"]
+
+    urn = ("urn:great_expectations:validations:profile_a:"
+           "expect_column_mean_to_be_between.result.observed_value:"
+           "column=w")
+    suite_b = ges.suite("gate_b").expect(
+        "expect_column_mean_to_be_between", column="w",
+        min_value={"$PARAMETER": f"{urn} * 0.9"},
+        max_value={"$PARAMETER": f"{urn} * 1.1"},
+    )
+    res_b = CheckpointRunner(spark, path, suite_b, state, "b1").run()
+    assert res_b.results[0].success
+    kw = res_b.results[0].expectation_config.kwargs
+    assert kw["min_value"] == pytest.approx(mean_w * 0.9)
+    assert kw["max_value"] == pytest.approx(mean_w * 1.1)
+
+    # a bare URN substitutes the stored value verbatim
+    suite_c = ges.suite("gate_c").expect(
+        "expect_column_mean_to_be_between", column="w",
+        min_value={"$PARAMETER": urn},
+        max_value={"$PARAMETER": urn},
+    )
+    res_c = CheckpointRunner(spark, path, suite_c, state, "c1").run()
+    assert res_c.results[0].expectation_config.kwargs[
+        "min_value"
+    ] == pytest.approx(mean_w)
+
+    # unresolvable URN stays a loud per-expectation error
+    suite_d = ges.suite("gate_d").expect(
+        "expect_column_mean_to_be_between", column="w",
+        min_value={"$PARAMETER":
+                   "urn:great_expectations:validations:nope:"
+                   "expect_column_mean_to_be_between"
+                   ".result.observed_value"},
+        max_value=100,
+    )
+    res_d = CheckpointRunner(spark, path, suite_d, state, "d1").run()
+    assert not res_d.results[0].success
+    assert "No value found" in str(res_d.results[0].exception_info)

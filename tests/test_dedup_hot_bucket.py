@@ -65,3 +65,60 @@ def test_hot_bucket_star_pairs_match_oracle(spark, hot_dir):
 
     # connectivity: every hot doc reachable from the hub
     assert len({b for a, b in hot_pairs} | {0}) == 150
+
+
+@pytest.fixture()
+def hot_emb_dir(spark, tmp_path):
+    """embeddings.parquet with one 150-vector hot label (near-identical
+    vectors, far over the 64 cap) plus two small labels."""
+    import math
+
+    def vec(base, jitter):
+        # unit-ish vectors; jitter keeps them distinct but cosine~1
+        return [1.0 + (jitter * ((d % 7) - 3)) / 1000.0 if d < 8 else 0.01
+                for d in range(16)]
+
+    hot = [(i, vec(0, i), 0) for i in range(150)]
+    small_a = [(1000 + j, vec(1, j), 1) for j in range(4)]
+    # orthogonal-ish label: low cosine, below tau -> no pairs
+    small_b = [
+        (2000 + j, [0.01] * 8 + [1.0 + j / 100.0 * ((d % 5) - 2) for d in range(8)], 2)
+        for j in range(3)
+    ]
+    df = spark.createDataFrame(
+        hot + small_a + small_b,
+        "vec_id long, embedding array<double>, label int",
+    )
+    d = str(tmp_path / "sfemb")
+    df.repartition(8).write.mode("overwrite").parquet(
+        d + "/embeddings.parquet"
+    )
+    return d
+
+
+def test_hot_label_star_pairs_match_oracle(spark, hot_emb_dir):
+    sdf = sq.dedup_embedding_neardup(spark, hot_emb_dir)
+    rows = sdf.collect()
+    got = {(r.vec_a, r.vec_b) for r in rows}
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"'{hot_emb_dir}/embeddings.parquet/*.parquet'"
+    )
+    want = {(r[0], r[1]) for r in con.sql(sq._EMB_NEARDUP_DUCK).fetchall()}
+    assert got == want
+
+    # hot label: hub-star pairs only (0 -> 1..149), NOT 150*149/2
+    hot_pairs = {p for p in got if p[1] < 1000}
+    assert hot_pairs == {(0, i) for i in range(1, 150)}
+
+    # small label keeps exact all-pairs (cosine ~1 within label 1)
+    ids = [1000 + j for j in range(4)]
+    assert {(a, b) for a in ids for b in ids if a < b} <= got
+
+    # accounting query sees exactly one capped bucket
+    acct = sq.embedding_bucket_stats(spark, hot_emb_dir).first()
+    assert acct.capped_buckets == 1
+    assert acct.max_bucket == 150
+    assert acct.n_buckets == 3

@@ -28,14 +28,25 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_lsh_pairs_single_scan_no_union(spark):
-    txt = plan_of(sq.dedup_minhash_pairs(spark, SF))
+    # AQE's static explain hides ReuseExchange (it dedups at runtime
+    # stage creation); toggle it off to assert the canonical shape
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        txt = plan_of(sq.dedup_minhash_pairs(spark, SF))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert txt.count("FileScan") == 1, "signature pipeline duplicated"
     assert "Union" not in txt
-    # the bounded collect guards hot buckets: collect_list input must
-    # be the when(n <= cap) conditional (projected to a _w column by
-    # the window planner), never the raw doc_id
-    assert "collect_list(_w" in txt
-    assert "collect_list(doc_id" not in txt
+    # the bucket-size join probe must reuse the counts build's band
+    # exchange — that reuse IS the single-input-scan property
+    assert "ReusedExchange" in txt
+    # no sort-based WindowExec (costs ~100us per tiny bucket); bucket
+    # state is bounded by construction instead: the collect_list group
+    # key includes star_key (mega-bucket rows are singleton groups)
+    # and the n-filter runs before the agg
+    assert "Window" not in txt
+    assert "ShuffledHashJoin" in txt and "SortMergeJoin" not in txt
+    assert "collect_list(doc_id" in txt and txt.count("sk#") > 0
 
 
 def test_stats_only_suite_never_reads_bytes(spark):

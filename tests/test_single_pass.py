@@ -169,6 +169,53 @@ def test_second_level_merge_matches_direct_collect(spark, monkeypatch):
     assert captured["n_rows"] <= 3
 
 
+def test_second_level_stddev_large_mean_precision(spark, monkeypatch):
+    """Epoch-timestamp-like column (mean/sigma ~ 5e13) through the
+    forced two-level merge: the bucket-level variance fold must keep
+    Chan-quality precision. The textbook recombination
+    sum(M2_i) + sum(n_i*mean_i^2) - s1^2/N cancels catastrophically
+    here (both big terms ~1e34, true M2 ~1e6) and yields garbage or
+    negative M2 — this is the regression guard for the fold-based
+    second level."""
+    from great_expectations_spark.plans import planner as pl
+    from great_expectations_spark.plans import single_pass as sp
+
+    monkeypatch.setattr(pl, "run_single_pass", sp.run_single_pass)
+    base = 1_700_000_000_000_000.0  # epoch microseconds
+    df = (
+        spark.range(0, 4000)
+        .repartition(16)
+        .select(
+            (F.lit(base) + (F.col("id") % 97).cast("double")).alias("ts")
+        )
+    )
+    s = ges.suite("ts").expect(
+        "expect_column_stdev_to_be_between",
+        column="ts",
+        min_value=1.0,
+        max_value=1000.0,
+    )
+    # quality bar: the one-level driver Chan merge on the same
+    # (n, avg, M2) partials — residual ~1e-4 relative error is baked
+    # into the level-1 F.avg (naive double sum at 1e15 magnitude) and
+    # is shared by BOTH paths; what the fold must not do is add the
+    # old recombination's catastrophic loss on top (rel error >> 1)
+    chan = ges.SparkValidator(
+        df, s, strategy="single_pass"
+    ).validate()
+    monkeypatch.setattr(sp, "SECOND_LEVEL_FAN_IN", 3)
+    res = ges.SparkValidator(
+        df, s, strategy="single_pass"
+    ).validate()
+    got = res.results[0].result["observed_value"]
+    exact = df.agg(F.stddev_samp("ts")).first()[0]
+    assert got == pytest.approx(
+        chan.results[0].result["observed_value"], rel=1e-3
+    )
+    assert got == pytest.approx(exact, rel=5e-3)
+    assert res.results[0].success
+
+
 def test_second_level_merge_empty_and_allnull(spark, monkeypatch):
     from great_expectations_spark.plans import planner as pl
     from great_expectations_spark.plans import single_pass as sp

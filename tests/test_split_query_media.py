@@ -106,6 +106,66 @@ def test_query_expectations(spark):
     assert len(bad["details"]["unexpected_rows"]) == 3
 
 
+def test_query_template_values(spark):
+    """Generic QueryExpectation surface: {placeholder} tokens beyond
+    {active_batch} come from template_dict, matching the reference's
+    QueryTemplateValues._spark (query.format(**template_dict,
+    active_batch=view))."""
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)], "id long, g string"
+    )
+    s = (
+        ges.suite("qt")
+        # per-group frequency must be 40..60% — the contrib
+        # "column value frequency threshold" pattern as a template
+        .expect(
+            "expect_query_template_values_to_be_between",
+            query="SELECT count(*) * 1.0 / (SELECT count(*) FROM "
+                  "{active_batch}) FROM {active_batch} "
+                  "GROUP BY {group_col}",
+            template_dict={"group_col": "g"},
+            min_value=0.4,
+            max_value=0.6,
+        )
+        # same template, bounds that must fail for both groups
+        .expect(
+            "expect_query_template_values_to_be_between",
+            query="SELECT count(*) FROM {active_batch} "
+                  "WHERE {col} >= {threshold} GROUP BY {group_col}",
+            template_dict={"col": "id", "threshold": 90,
+                           "group_col": "g"},
+            min_value=10,
+            max_value=20,
+        )
+        # template_dict on the established query expectations too
+        .expect(
+            "expect_query_single_value_to_be_between",
+            query="SELECT avg({col}) FROM {active_batch}",
+            template_dict={"col": "id"},
+            min_value=49,
+            max_value=50,
+        )
+    )
+    res = ges.validate(df, s)
+    assert res.results[0].success
+    assert not res.results[1].success  # counts are 5 per group
+    assert res.results[1].result["details"]["unexpected_values"] == [5, 5]
+    assert res.results[2].success
+
+    # a template token missing from template_dict is a loud error
+    s_bad = ges.suite("qbad").expect(
+        "expect_query_template_values_to_be_between",
+        query="SELECT {nope} FROM {active_batch}",
+        min_value=0,
+        max_value=1,
+    )
+    res_bad = ges.validate(df, s_bad, catch_exceptions=True)
+    assert not res_bad.results[0].success
+    assert "template references {nope}" in str(
+        res_bad.results[0].exception_info
+    )
+
+
 def _media_df(spark, n=60):
     from great_expectations_spark.payload.media import (
         encode_audio,
