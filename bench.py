@@ -62,9 +62,14 @@ HEADLINE = [
     "zscore_violations",
     "psi_drift",
     "ks_statistic",
+    "wasserstein_qty_drift",
+    "embedding_norm_stats",
     "dedup_exact_stats",
     "dedup_minhash_pairs",
     "dedup_minhash_hot_buckets",
+    "lsh_verified_pairs",
+    "dedup_clusters",
+    "dedup_ratio_by_source",
     "dedup_simhash",
     "ngram_jaccard_adjacent",
     "embedding_cosine_topk",

@@ -894,6 +894,243 @@ def dedup_minhash_hot_buckets(
     )
 
 
+# --- LSH verification + clustering: the dedup pipeline's endgame -----------
+# Candidates (dedup_minhash_pairs) -> Jaccard-verified edges -> connected
+# components -> one canonical keeper per cluster. This is the shape of an
+# actual training-data dedup run: the pairwise kernel touches ONLY the
+# LSH candidates (never all-pairs), and the clustering is a fixed number
+# of min-label propagation rounds — each round one slim join + map-side
+# min agg, no driver-side loop over collected edges.
+
+_JACCARD_TAU = 0.4
+
+_SHINGLE_SETS_DUCK = """
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(len(string_split(text, ' ')) - 2),
+               i -> array_to_string(
+                      (string_split(text, ' '))[i + 1 : i + 3], ' ')
+             )) AS shingles
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+"""
+
+_LSH_VERIFIED_DUCK = f"""
+    WITH cand AS ({_MINHASH_DUCK_PAIRS}),
+    sh AS ({_SHINGLE_SETS_DUCK})
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+                 (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))), 4)
+             AS jaccard
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
+    WHERE len(list_intersect(a.shingles, b.shingles)) * 1.0 /
+          (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)))
+          >= {_JACCARD_TAU}
+"""
+
+
+@register("lsh_verified_pairs", _LSH_VERIFIED_DUCK)
+def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard-verified near-duplicate edges: the 3-gram Jaccard
+    kernel evaluated ONLY on LSH candidate pairs. At corpus scale the
+    candidate set is O(dups), so the two hash joins against the
+    shingle-set projection shuffle candidate rows + one shingle set
+    per involved doc — never the corpus against itself. Docs join by
+    id (slim keys); shingle sets travel once per side."""
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").where(
+        F.size(F.split(F.col("text"), " ")) >= 3
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(_spark_shingles_col()).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    union = F.size(F.col("sa")) + F.size(F.col("sb")) - inter
+    jac = inter / union
+    return j.where(jac >= _JACCARD_TAU).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+
+
+# Min-label propagation: each round spreads the component minimum one
+# hop, so the clustering is exact once no label changes — the loop
+# checks convergence after every round (one slim count over the two
+# materialized label tables, same cost class as the round itself) and
+# stops. LSH graphs are star-dominated (hub pairs from the bucket
+# cap, all-pairs cliques below it): observed diameters are <=4, so
+# the typical run is diameter+1 rounds; _CC_MAX_ROUNDS bounds a
+# pathological chain-shaped corpus, and the SQL oracle (exact
+# transitive closure) catches any graph whose diameter exceeds it.
+_CC_ROUNDS = 8  # fixed-round mode for tests; see min_label_components
+_CC_MAX_ROUNDS = 32
+
+_CLUSTERS_DUCK = f"""
+    WITH RECURSIVE cand AS ({_MINHASH_DUCK_PAIRS}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM cand
+      UNION
+      SELECT doc_b, doc_a FROM cand
+    ),
+    reach(src, dst) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+    ),
+    comp AS (
+      SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           doc_id = cluster_id AS keep,
+           CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+             AS cluster_size
+    FROM assigned
+"""
+
+
+def min_label_components(
+    pairs: DataFrame,
+    nodes: DataFrame,
+    rounds: Optional[int] = None,
+    max_rounds: int = _CC_MAX_ROUNDS,
+) -> DataFrame:
+    """Connected components by min-label propagation over undirected
+    `pairs` (doc_a, doc_b); `nodes` supplies the full vertex domain
+    (doc_id) so isolated vertices become their own component. Each
+    round spreads the component minimum ONE hop; by default the loop
+    stops as soon as a round changes no label (convergence == exact
+    components for any diameter <= max_rounds), so the typical cost
+    is diameter+1 rounds. Pass `rounds` for a fixed budget instead
+    (exact only when rounds >= diameter — the boundary tests use
+    this). Rounds are one slim join + a map-side-combined min agg
+    each; lineage is truncated per round with localCheckpoint —
+    without that, round k's plan embeds the edge pipeline k more
+    times and Catalyst blows the driver heap before any task runs.
+    Returns (doc_id, cluster_id)."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+        )
+    ).localCheckpoint()
+    labels = nodes.select(
+        "doc_id", F.col("doc_id").alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(rounds if rounds is not None else max_rounds):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("dst"),
+                    F.col("cluster_id").alias("nbr_label"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nbr_label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(
+                nbr.select(F.col("src").alias("doc_id"), "nbr_min"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        if rounds is None:
+            changed = (
+                new_labels.withColumnRenamed("cluster_id", "new_cid")
+                .join(labels, "doc_id")
+                .where(F.col("new_cid") != F.col("cluster_id"))
+                .count()
+            )
+            if changed == 0:
+                return labels  # new == old; either is the fixpoint
+        labels = new_labels
+    return labels
+
+
+@register("dedup_clusters", _CLUSTERS_DUCK)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the LSH candidate graph + canonical
+    keeper per cluster — the keep/drop table a dedup pass feeds back
+    into the pipeline. cluster_id = component-minimum doc_id, found
+    by _CC_ROUNDS rounds of min-label propagation: every round is one
+    join of the (symmetric) edge list against the label table and a
+    map-side-combined min agg — O(edges) work per round, fully
+    distributed, no driver-side graph. keep = (doc_id == cluster_id)
+    needs NO extra pass because the propagated label IS the component
+    min. The oracle computes the exact transitive closure, so a
+    corpus whose diameter exceeded the round budget would fail
+    parity loudly instead of silently under-merging."""
+    cand = dedup_minhash_pairs(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    labels = min_label_components(cand, d)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return labels.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        "cluster_size",
+    )
+
+
+@register(
+    "dedup_ratio_by_source",
+    f"""
+    WITH cl AS ({_CLUSTERS_DUCK})
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(CASE WHEN cl.keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_docs,
+           round(1.0 - sum(CASE WHEN cl.keep THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_ratio
+    FROM documents d JOIN cl ON cl.doc_id = d.doc_id
+    GROUP BY d.source
+    """,
+)
+def dedup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pass's report card: per source, how many documents
+    survive canonical-keeper selection. Joins the keep/drop table
+    (dedup_clusters) back to document metadata on slim doc_id keys —
+    the downstream-consumption shape of the clustering output."""
+    cl = dedup_clusters(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    j = d.join(cl, "doc_id")
+    kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        kept.alias("kept_docs"),
+        F.round(1.0 - kept / F.count(F.lit(1)), 4).alias("dup_ratio"),
+    )
+
+
 # --- SimHash ----------------------------------------------------------------
 # 16-bit simhash from the first 4 md5 hex chars of each token; bit j
 # is set when the +1/-1 vote over all tokens is positive.
@@ -1574,6 +1811,106 @@ def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("full_sim", 6).alias("sim"),
             "rank",
         )
+    )
+
+
+# --- embedding sanity + distribution drift ----------------------------------
+
+
+@register(
+    "embedding_norm_stats",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(count(DISTINCT len(embedding)) AS BIGINT)
+             AS n_dims_distinct,
+           CAST(min(len(embedding)) AS BIGINT) AS dim_min,
+           CAST(max(len(embedding)) AS BIGINT) AS dim_max,
+           round(min(nrm), 6) AS norm_min,
+           round(max(nrm), 6) AS norm_max,
+           round(avg(nrm), 6) AS norm_mean,
+           CAST(sum(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_vectors
+    FROM (
+      SELECT embedding,
+             sqrt(list_sum(list_transform(
+               CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+      FROM embeddings
+    )
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column sanity suite in ONE scan: dimension
+    consistency (a ragged embedding column breaks every downstream
+    matmul), L2-norm range/mean, and zero-vector count (dead
+    encoders). The validation-engine face of the multimodal payload
+    checks, all JVM array expressions."""
+    e = _t(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    base = e.select(
+        F.size("embedding").alias("dim"),
+        F.sqrt(_vec_dot(v, v)).alias("nrm"),
+    )
+    return base.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct("dim").alias("n_dims_distinct"),
+        F.min("dim").cast("long").alias("dim_min"),
+        F.max("dim").cast("long").alias("dim_max"),
+        F.round(F.min("nrm"), 6).alias("norm_min"),
+        F.round(F.max("nrm"), 6).alias("norm_max"),
+        F.round(F.avg("nrm"), 6).alias("norm_mean"),
+        F.sum(
+            F.when(F.col("nrm") < 1e-12, 1).otherwise(0)
+        ).alias("zero_vectors"),
+    )
+
+
+_W1_GRID = [i / 40 for i in range(41)]
+
+
+@register(
+    "wasserstein_qty_drift",
+    f"""
+    WITH qa AS (
+      SELECT quantile_cont(l_quantity,
+               {_W1_GRID}) AS q
+      FROM lineitem WHERE l_returnflag = 'A'
+    ),
+    qb AS (
+      SELECT quantile_cont(l_quantity,
+               {_W1_GRID}) AS q
+      FROM lineitem WHERE l_returnflag = 'N'
+    )
+    SELECT round(list_sum(list_transform(range(1, 42),
+             i -> abs(qa.q[i] - qb.q[i]))) / 41.0, 6) AS w1
+    FROM qa, qb
+    """,
+)
+def wasserstein_qty_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein (earth-mover) distance between two cohorts'
+    l_quantity distributions, via a 41-point interpolated-quantile
+    grid: W1 = mean |Q_a(p) - Q_b(p)|. Complements PSI (binned) and
+    KS (sup-norm) with the drift metric that weighs HOW FAR mass
+    moved. One exact-percentile aggregation per cohort (both computed
+    in the same job over one scan), then an O(grid) array fold."""
+    li = _t(spark, sf_dir, "lineitem")
+    grid = "array(" + ", ".join(str(p) for p in _W1_GRID) + ")"
+    row = li.agg(
+        F.expr(
+            f"percentile(CASE WHEN l_returnflag = 'A' THEN l_quantity "
+            f"END, {grid})"
+        ).alias("qa"),
+        F.expr(
+            f"percentile(CASE WHEN l_returnflag = 'N' THEN l_quantity "
+            f"END, {grid})"
+        ).alias("qb"),
+    )
+    diff = F.zip_with("qa", "qb", lambda a, b: F.abs(a - b))
+    return row.select(
+        F.round(
+            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x)
+            / len(_W1_GRID),
+            6,
+        ).alias("w1")
     )
 
 

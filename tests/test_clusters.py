@@ -1,0 +1,72 @@
+"""Connected-component clustering (min-label propagation): exactness
+at the round budget's diameter boundary, isolated vertices, and the
+end-to-end keep/drop query against the exact-closure oracle (the
+oracle check itself runs in the driver gate; here the propagation
+core is exercised on adversarial graph shapes LSH data won't hit)."""
+
+import duckdb
+
+from great_expectations_spark import suite_queries as sq
+
+
+def _components(spark, edges, nodes, rounds):
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nd = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    got = sq.min_label_components(pairs, nd, rounds=rounds).collect()
+    return {r.doc_id: r.cluster_id for r in got}
+
+
+def test_path_graph_at_diameter_boundary(spark):
+    # path 0-1-2-...-8: diameter 8 == default round budget -> exact
+    edges = [(i, i + 1) for i in range(8)]
+    labels = _components(spark, edges, range(9), sq._CC_ROUNDS)
+    assert set(labels.values()) == {0}
+
+    # diameter 11 with rounds=11 -> exact; shows rounds tracks
+    # diameter, not node count
+    edges = [(i, i + 1) for i in range(11)]
+    labels = _components(spark, edges, range(12), 11)
+    assert set(labels.values()) == {0}
+
+
+def test_isolated_and_multi_component(spark):
+    edges = [(1, 2), (2, 3), (10, 11)]
+    labels = _components(spark, edges, [1, 2, 3, 10, 11, 99], 4)
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_dedup_clusters_matches_closure_oracle(spark, tmp_path):
+    # identical-text cluster + unique docs through the FULL pipeline
+    rows = [
+        (i, "the quick brown fox jumps over the lazy dog again",
+         "en", "hot", 49)
+        for i in range(40)
+    ] + [
+        (100 + i, f"unique document number {i} with words {i*7} {i*13}",
+         "en", "uniq", 60)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    d = str(tmp_path / "sfcc")
+    df.repartition(4).write.mode("overwrite").parquet(
+        d + "/documents.parquet"
+    )
+    got = {
+        (r.doc_id, r.cluster_id, r.keep, r.cluster_size)
+        for r in sq.dedup_clusters(spark, d).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    want = {tuple(r) for r in con.sql(sq._CLUSTERS_DUCK).fetchall()}
+    assert got == want
+    # the hot cluster keeps exactly one canonical doc
+    hot = [r for r in got if r[3] == 40]
+    assert sum(1 for r in hot if r[2]) == 1
+    assert all(r[1] == 0 for r in hot)

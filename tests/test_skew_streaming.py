@@ -219,3 +219,54 @@ def test_windowed_psi_drift_stream(spark, tmp_path):
         b = max(w, eps)
         psi_ref += (a - b) * math.log(a / b)
     assert psi2 == pytest.approx(round(psi_ref, 6), abs=2e-6)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark-based exact dedup: duplicates
+    inside the horizon are dropped (first occurrence survives),
+    distinct documents all pass, and state keys on the content hash
+    (bounded by the horizon), not the text."""
+    from datetime import datetime, timedelta
+
+    from great_expectations_spark.streaming.dedup_stream import (
+        dedup_stream,
+    )
+
+    src = str(tmp_path / "dsrc")
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    rows = []
+    # 30 distinct docs, each duplicated 3x within a few minutes
+    for i in range(30):
+        for k in range(3):
+            rows.append(
+                (
+                    i * 10 + k,
+                    f"document body number {i}",
+                    base + timedelta(minutes=i, seconds=k * 10),
+                )
+            )
+    # case-variant duplicate: normalized hashing must drop it
+    rows.append((900, "DOCUMENT BODY NUMBER 0", base))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(src)
+    out = str(tmp_path / "dout")
+    q = (
+        dedup_stream(stream, watermark="30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "dckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out).collect()
+    # one survivor per distinct normalized text
+    assert len(got) == 30
+    texts = sorted(r.text.lower() for r in got)
+    assert texts == sorted(f"document body number {i}" for i in range(30))
