@@ -103,9 +103,12 @@ def _dir_bytes(path: str) -> int:
 # local[4] level (23 core-s) and is exactly what you'd set via
 # spark.executor.extraJavaOptions on a real cluster (GC threads
 # should track executor cores, not host cores).
-GC_OPTS = (
-    "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -Xmn8g"
+GC_OPTS = os.environ.get(
+    "SPARK_GRAFT_GC_OPTS",
+    "-XX:ParallelGCThreads=8 -XX:ConcGCThreads=2 -Xmn8g",
 )
+DRIVER_MEM = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+ARROW_BATCH = os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000")
 
 
 def make_session(
@@ -121,7 +124,8 @@ def make_session(
     # the splits come from file size, not cluster size).
     data_path = data_path or IMG_PATH
     size = _dir_bytes(data_path) if os.path.isdir(data_path) else 0
-    mpb = min(max(size // (6 * (split_cores or cores)), 1 << 20), 128 << 20)
+    spc = int(os.environ.get("SPARK_GRAFT_SPLITS_PER_CORE", "6"))
+    mpb = min(max(size // (spc * (split_cores or cores)), 1 << 20), 128 << 20)
     # single-threaded BLAS in python workers: one core per worker is
     # the contract; nested OpenMP/BLAS pools oversubscribe at high
     # parallelism (library hygiene for pandas-UDF workers anywhere)
@@ -139,8 +143,11 @@ def make_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", DRIVER_MEM)
         .config("spark.driver.extraJavaOptions", GC_OPTS)
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", ARROW_BATCH
+        )
         .config("spark.sql.files.maxPartitionBytes", str(mpb))
         .config("spark.sql.files.openCostInBytes", "64k")
         .getOrCreate()
@@ -523,7 +530,10 @@ if __name__ == "__main__":
         # 3x longer, so a mid-spawn weather change contaminates its
         # min more easily (observed 13.6s..23.5s within one bench)
         cores = int(_sys.argv[2])
-        reps = 3 if cores == min(SCALE_LEVELS) else 2
+        if len(_sys.argv) >= 4:
+            reps = int(_sys.argv[3])
+        else:
+            reps = 3 if cores == min(SCALE_LEVELS) else 2
         print(json.dumps(_suite_runs_at(cores, reps)))
     else:
         main()

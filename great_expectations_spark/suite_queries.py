@@ -668,33 +668,43 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Opt-in signature sharing: the three LSH queries (signatures, pairs,
-# hot_buckets) all start from the same signature projection. A bench
-# or production pipeline that runs them together materializes the
-# signatures ONCE (this is the "signatures are materialized once"
-# path the docstrings reference); standalone oracle runs keep the
-# default recompute so each query stays self-contained.
-_SIGS_CACHE: Dict[str, DataFrame] = {}
+# Opt-in stage sharing: the LSH family is a PIPELINE — signatures
+# feed pairs/hot_buckets, candidate pairs feed the verification
+# kernel and clustering, and the cluster table feeds the per-source
+# report. A bench or production run that executes several of these
+# together materializes each shared stage ONCE (the "materialized
+# once" path the docstrings reference); standalone oracle runs keep
+# the default recompute so every query stays self-contained.
+_SHARE_CACHE: Dict[str, DataFrame] = {}
 
 
-def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _shared_stage(stage: str, spark: SparkSession, sf_dir: str, build):
     if os.environ.get("SPARK_GRAFT_SHARE_SIGS") != "1":
-        return dedup_minhash_signatures(spark, sf_dir)
-    key = f"{id(spark)}|{sf_dir}"
-    df = _SIGS_CACHE.get(key)
+        return build()
+    key = f"{stage}|{id(spark)}|{sf_dir}"
+    df = _SHARE_CACHE.get(key)
     if df is None:
-        df = dedup_minhash_signatures(spark, sf_dir).persist()
-        _SIGS_CACHE[key] = df
+        df = build().persist()
+        _SHARE_CACHE[key] = df
     return df
 
 
+def _sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shared_stage(
+        "sigs", spark, sf_dir,
+        lambda: dedup_minhash_signatures(spark, sf_dir),
+    )
+
+
 def clear_sigs_cache() -> None:
-    for df in _SIGS_CACHE.values():
+    """Unpersist every shared pipeline stage (sigs, candidate pairs,
+    cluster table)."""
+    for df in _SHARE_CACHE.values():
         try:
             df.unpersist()
         except Exception:  # noqa: BLE001 - session may be gone
             pass
-    _SIGS_CACHE.clear()
+    _SHARE_CACHE.clear()
 
 
 # Hot-bucket cap: a web corpus has mega-buckets (boilerplate, empty
@@ -941,7 +951,10 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle-set projection shuffle candidate rows + one shingle set
     per involved doc — never the corpus against itself. Docs join by
     id (slim keys); shingle sets travel once per side."""
-    cand = dedup_minhash_pairs(spark, sf_dir)
+    cand = _shared_stage(
+        "cand_pairs", spark, sf_dir,
+        lambda: dedup_minhash_pairs(spark, sf_dir),
+    )
     d = _t(spark, sf_dir, "documents").where(
         F.size(F.split(F.col("text"), " ")) >= 3
     )
@@ -1087,7 +1100,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     min. The oracle computes the exact transitive closure, so a
     corpus whose diameter exceeded the round budget would fail
     parity loudly instead of silently under-merging."""
-    cand = dedup_minhash_pairs(spark, sf_dir)
+    cand = _shared_stage(
+        "cand_pairs", spark, sf_dir,
+        lambda: dedup_minhash_pairs(spark, sf_dir),
+    )
     d = _t(spark, sf_dir, "documents")
     labels = min_label_components(cand, d)
     sizes = labels.groupBy("cluster_id").agg(
@@ -1120,7 +1136,10 @@ def dedup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     survive canonical-keeper selection. Joins the keep/drop table
     (dedup_clusters) back to document metadata on slim doc_id keys —
     the downstream-consumption shape of the clustering output."""
-    cl = dedup_clusters(spark, sf_dir)
+    cl = _shared_stage(
+        "clusters", spark, sf_dir,
+        lambda: dedup_clusters(spark, sf_dir),
+    )
     d = _t(spark, sf_dir, "documents").select("doc_id", "source")
     j = d.join(cl, "doc_id")
     kept = F.sum(F.when(F.col("keep"), 1).otherwise(0))
