@@ -21,13 +21,15 @@ from .core.result import (
 )
 from .checkpoint import CheckpointRunner
 from .operators.registry import list_expectation_types
-from .plans.planner import SparkValidator, validate
+from .plans.planner import CompiledSuite, SparkValidator, compile_suite, validate
 from .profile import profile_table, suite_from_baseline
 
 __version__ = "0.1.0"
 
 __all__ = [
     "CheckpointRunner",
+    "CompiledSuite",
+    "compile_suite",
     "ExpectationConfiguration",
     "ExpectationSuite",
     "ExpectationSuiteValidationResult",

@@ -22,7 +22,7 @@ from typing import Any, Callable, Optional
 from pyspark.sql import DataFrame
 
 from ..core.config import ExpectationSuite
-from ..plans.planner import validate
+from ..plans.planner import compile_suite
 
 
 def validation_foreach_batch(
@@ -33,13 +33,29 @@ def validation_foreach_batch(
 ):
     """Build a foreachBatch callback that validates every micro-batch.
 
+    The suite is COMPILED ONCE on the first batch (CompiledSuite) and
+    the compiled plan is reused for every subsequent micro-batch —
+    expression construction (~0.45 s of driver py4j traffic for a wide
+    suite) would otherwise recur per batch, which dominates small
+    micro-batches. A schema change mid-stream triggers a recompile.
+
     Results go to ``result_path`` as appended JSON-line files (one
     line per batch: {batch_id, ts, statistics, results}) and/or to the
     ``on_result(batch_id, suite_result)`` callback.
     """
+    state: dict = {}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        result = validate(batch_df, suite, result_format=result_format)
+        compiled = state.get("compiled")
+        if compiled is None or compiled.schema != batch_df.schema:
+            compiled = compile_suite(
+                suite,
+                batch_df.schema,
+                batch_df.sparkSession,
+                result_format=result_format,
+            )
+            state["compiled"] = compiled
+        result = compiled.validate(batch_df)
         if result_path is not None:
             line = json.dumps(
                 {

@@ -1,0 +1,152 @@
+"""CompiledSuite: compile-once / validate-many equivalence.
+
+The compiled path must produce EVR-identical results to the one-shot
+``ges.validate`` for every check shape (map / agg / job / schema /
+deferred z-score / row_condition domains / compile errors), across
+multiple batches with different data. This is the contract the
+streaming foreachBatch bridge and the bench steady-state rely on.
+"""
+
+import pytest
+from pyspark.sql import types as T
+
+import great_expectations_spark as ges
+
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("x", T.IntegerType()),
+        T.StructField("y", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+BATCH_A = [
+    (1, 1.0, "aaa"),
+    (2, 2.5, "abb"),
+    (3, None, "acc"),
+    (4, 4.5, None),
+    (None, 5.0, "zzz"),
+]
+BATCH_B = [
+    (10, 0.5, "qqq"),
+    (10, 0.5, "qqq"),
+    (12, 9.0, None),
+]
+
+
+def wide_suite():
+    return (
+        ges.suite("compiled-eq")
+        # schema check
+        .expect("expect_table_columns_to_match_set",
+                column_set=["x", "y", "s"])
+        # map checks
+        .expect("expect_column_values_to_not_be_null", column="x",
+                mostly=0.5)
+        .expect("expect_column_values_to_be_between", column="x",
+                min_value=0, max_value=11)
+        .expect("expect_column_value_lengths_to_be_between", column="s",
+                min_value=2, max_value=3)
+        # deferred map check (z-score needs stats first → classic plan)
+        .expect("expect_column_value_z_scores_to_be_less_than", column="y",
+                threshold=1.5, double_sided=True)
+        # agg checks
+        .expect("expect_column_mean_to_be_between", column="y",
+                min_value=0, max_value=10)
+        .expect("expect_column_stdev_to_be_between", column="y",
+                min_value=0, max_value=10)
+        # job check (two-phase uniqueness)
+        .expect("expect_column_values_to_be_unique", column="x")
+        # row_condition domain
+        .expect("expect_column_values_to_be_in_set", column="s",
+                value_set=["aaa", "abb", "acc", "qqq"],
+                row_condition='x IS NOT NULL',
+                condition_parser="spark")
+    )
+
+
+def strip_meta(res):
+    return [
+        {
+            "success": r.success,
+            "type": r.expectation_config.expectation_type,
+            "result": r.result,
+            "exc": r.exception_info["raised_exception"],
+        }
+        for r in res.results
+    ]
+
+
+@pytest.mark.parametrize("rf", ["SUMMARY", "COMPLETE"])
+def test_compiled_matches_oneshot_across_batches(spark, rf):
+    suite = wide_suite()
+    compiled = ges.compile_suite(suite, SCHEMA, spark, result_format=rf)
+    for rows in (BATCH_A, BATCH_B, BATCH_A):
+        df = spark.createDataFrame(rows, SCHEMA)
+        got = compiled.validate(df)
+        want = ges.validate(df, suite, result_format=rf)
+        assert strip_meta(got) == strip_meta(want)
+        assert got.success == want.success
+        assert got.statistics == want.statistics
+
+
+def test_compiled_empty_batch(spark):
+    suite = wide_suite()
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    df = spark.createDataFrame([], SCHEMA)
+    got = compiled.validate(df)
+    want = ges.validate(df, suite)
+    assert strip_meta(got) == strip_meta(want)
+
+
+def test_compiled_compile_error_preserved(spark):
+    suite = (
+        ges.suite("bad")
+        .expect("expect_column_values_to_not_be_null", column="x")
+        .expect("expect_no_such_expectation_type", column="x")
+    )
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    df = spark.createDataFrame(BATCH_A, SCHEMA)
+    got = compiled.validate(df)
+    want = ges.validate(df, suite)
+    assert [r.exception_info["raised_exception"] for r in got.results] == [
+        r.exception_info["raised_exception"] for r in want.results
+    ]
+    assert got.results[1].exception_info["raised_exception"] is True
+
+
+def test_compiled_bad_row_condition_yields_exception_evrs(spark):
+    suite = ges.suite("badrc").expect(
+        "expect_column_values_to_not_be_null",
+        column="x",
+        row_condition="this is ((( not sql",
+        condition_parser="spark",
+    )
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    df = spark.createDataFrame(BATCH_A, SCHEMA)
+    got = compiled.validate(df)
+    want = ges.validate(df, suite)
+    assert got.results[0].exception_info["raised_exception"] is True
+    assert want.results[0].exception_info["raised_exception"] is True
+
+
+def test_compiled_schema_mismatch_raises(spark):
+    suite = wide_suite()
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    other = T.StructType([T.StructField("z", T.IntegerType())])
+    df = spark.createDataFrame([(1,)], other)
+    with pytest.raises(ValueError, match="recompile"):
+        compiled.validate(df)
+
+
+def test_compiled_is_faster_to_revalidate(spark):
+    """The compiled path must not re-run expression construction: its
+    per-batch phase_times carry no 'compile' phase."""
+    suite = wide_suite()
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    df = spark.createDataFrame(BATCH_A, SCHEMA)
+    got = compiled.validate(df)
+    assert "compile" not in got.meta["phase_times"]
+    want = ges.validate(df, suite)
+    assert "compile" in want.meta["phase_times"]
