@@ -741,10 +741,14 @@ class CompiledSuite:
         for batch in batches:
             result = compiled.validate(batch)
 
-    Evaluation parameters are bound at compile time; to rebind,
-    compile again (cheap) or use the one-shot ``validate``. Batches
-    must share the compiled schema — ``validate`` raises on mismatch
-    rather than returning silently-wrong column resolutions.
+    Evaluation parameters are bound at compile time ($PARAMETER kwargs
+    become literal expression constants); passing different
+    ``evaluation_parameters`` to ``validate`` transparently recompiles
+    — memoized on the parameter values, so a per-batch caller whose
+    upstream thresholds change occasionally (the URN cross-suite
+    gating pattern) pays the recompile only when they actually change.
+    Batches must share the compiled schema — ``validate`` raises on
+    mismatch rather than returning silently-wrong column resolutions.
     """
 
     def __init__(
@@ -761,6 +765,8 @@ class CompiledSuite:
     ):
         self.suite = suite
         self.schema = schema
+        self._spark = spark
+        self._rebound: Optional[tuple] = None
         self._opts = dict(
             aux_tables=aux_tables,
             result_format=result_format,
@@ -780,7 +786,11 @@ class CompiledSuite:
             except Exception as exc:  # noqa: BLE001 - surfaced as EVRs per batch
                 dom.error = (exc, traceback.format_exc())
 
-    def validate(self, df: DataFrame) -> ExpectationSuiteValidationResult:
+    def validate(
+        self,
+        df: DataFrame,
+        evaluation_parameters: Optional[Dict[str, Any]] = None,
+    ) -> ExpectationSuiteValidationResult:
         if [f.name for f in df.schema.fields] != [
             f.name for f in self.schema.fields
         ]:
@@ -790,6 +800,24 @@ class CompiledSuite:
                 f"{[f.name for f in df.schema.fields]}; recompile with "
                 "compile_suite(suite, df.schema, spark)"
             )
+        if (
+            evaluation_parameters is not None
+            and evaluation_parameters
+            != (self._opts.get("evaluation_parameters") or {})
+        ):
+            # parameters are literal constants inside the compiled
+            # expressions — different values need a recompile, cached
+            # on the values so stable params stay on the fast path
+            if self._rebound is None or self._rebound[0] != evaluation_parameters:
+                opts = dict(self._opts)
+                opts["evaluation_parameters"] = dict(evaluation_parameters)
+                self._rebound = (
+                    dict(evaluation_parameters),
+                    CompiledSuite(
+                        self.suite, self.schema, self._spark, **opts
+                    ),
+                )
+            return self._rebound[1].validate(df)
         return SparkValidator(
             df, self.suite, _compiled=self, **self._opts
         ).validate()

@@ -150,3 +150,32 @@ def test_compiled_is_faster_to_revalidate(spark):
     assert "compile" not in got.meta["phase_times"]
     want = ges.validate(df, suite)
     assert "compile" in want.meta["phase_times"]
+
+
+def test_compiled_per_batch_evaluation_parameters(spark):
+    """Different params per batch → transparent memoized recompile
+    matching the one-shot result; stable params reuse the rebound
+    plan (no compile phase in its per-batch meta)."""
+    suite = ges.suite("params").expect(
+        "expect_column_values_to_be_between",
+        column="x",
+        min_value=0,
+        max_value={"$PARAMETER": "cap"},
+    )
+    suite.evaluation_parameters = {"cap": 3}
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    df = spark.createDataFrame(BATCH_A, SCHEMA)
+
+    base = compiled.validate(df)
+    want_base = ges.validate(df, suite)
+    assert strip_meta(base) == strip_meta(want_base)
+    assert base.results[0].result["unexpected_count"] == 1  # x=4 > 3
+
+    got = compiled.validate(df, evaluation_parameters={"cap": 10})
+    want = ges.validate(df, suite, evaluation_parameters={"cap": 10})
+    assert strip_meta(got) == strip_meta(want)
+    assert got.results[0].result["unexpected_count"] == 0
+
+    again = compiled.validate(df, evaluation_parameters={"cap": 10})
+    assert "compile" not in again.meta["phase_times"]
+    assert strip_meta(again) == strip_meta(got)
