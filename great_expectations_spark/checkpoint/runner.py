@@ -54,13 +54,8 @@ from ..core.result import (
 )
 from ..operators.checks import MetricCache
 from ..operators.registry import get_compiler
-from ..plans.planner import SparkValidator, collect_agg_exprs, split_checks
-from ..plans.single_pass import (
-    merge_stat_rows,
-    plan_stat_partials,
-    run_single_pass,
-    violation_collect_expr,
-)
+from ..plans.planner import SparkValidator, split_checks
+from ..plans.single_pass import merge_stat_rows, run_single_pass
 
 
 def fingerprint_parquet_dir(path: str) -> str:
@@ -366,30 +361,20 @@ class CheckpointRunner:
             checks
         )
 
-        agg_exprs = collect_agg_exprs(map_checks, agg_checks, job_checks)
-        partials, merges, leftover = plan_stat_partials(agg_exprs)
-
-        caps: Dict[int, int] = {}
-        violation_exprs = []
-        for chk in map_checks:
-            if chk.deferred:
-                # z-score conditions need final stats; they run in the
-                # deferred second pass at finalize, not per group
-                continue
-            rf = validator._rf_for(chk)
-            if rf["result_format"] == "BOOLEAN_ONLY":
-                continue
-            caps[chk.index] = validator._cap_for(chk, rf)
-            cond, value = chk.build({})
-            full = (
-                (chk.consider() & cond) if chk.consider is not None else cond
-            )
-            violation_exprs.append(
-                violation_collect_expr(
-                    df.sparkSession, full, value, caps[chk.index],
-                    f"v{chk.index}",
-                )
-            )
+        # one shared plan-construction path with the in-process
+        # validator (planner._plan_domain); force_single because the
+        # group grid ALWAYS runs the per-partition partial plan —
+        # deferred (z-score) conditions are handled at this finalize,
+        # not per group
+        plan = validator._plan_domain(
+            df.sparkSession, map_checks, agg_checks, job_checks,
+            force_single=True,
+        )
+        partials = plan.partials or {}
+        merges = plan.merges or {}
+        leftover = plan.leftover or {}
+        caps = plan.caps
+        violation_exprs = plan.violation_exprs
 
         # group loop — resume skips any group with a committed file
         group_states: List[Dict[str, Any]] = []

@@ -237,16 +237,40 @@ class SparkValidator:
 
         for i, cfg, exc, tb in exc_entries:
             if not self.catch_exceptions:
+                if self._compiled is not None:
+                    # the stored instance is shared by every batch of
+                    # this CompiledSuite — re-raising it would mutate
+                    # its __traceback__ cumulatively across batches;
+                    # raise a fresh wrapper chained to the original
+                    raise RuntimeError(
+                        f"expectation {i} "
+                        f"({cfg.expectation_type}) failed to compile: "
+                        f"{exc!r}"
+                    ) from exc
                 raise exc
             evrs[i] = exception_result(cfg, exc, tb)
 
         for dom in domains:
+            if dom.error is not None:
+                # an unparseable condition (bad SQL, bad DSL) yields
+                # exception EVRs for its domain's checks, not an
+                # aborted validate; the stored instance is never
+                # re-raised (it is shared across batches when
+                # precompiled — raising would grow its __traceback__
+                # per batch)
+                exc, tb = dom.error
+                if not self.catch_exceptions:
+                    if self._compiled is not None:
+                        raise RuntimeError(
+                            f"row_condition {dom.rc!r} failed to "
+                            f"compile: {exc!r}"
+                        ) from exc
+                    raise exc
+                for chk in dom.checks:
+                    if chk.index not in evrs:
+                        evrs[chk.index] = exception_result(chk.config, exc, tb)
+                continue
             try:
-                # inside the try: an unparseable condition (bad SQL,
-                # bad DSL) must yield exception EVRs for its domain's
-                # checks, not abort the whole validate
-                if dom.error is not None:
-                    raise dom.error[0]
                 df = (
                     self.df.filter(dom.cond)
                     if dom.cond is not None
@@ -256,11 +280,7 @@ class SparkValidator:
             except Exception as exc:  # noqa: BLE001
                 if not self.catch_exceptions:
                     raise
-                tb = (
-                    dom.error[1]
-                    if dom.error is not None
-                    else traceback.format_exc()
-                )
+                tb = traceback.format_exc()
                 for chk in dom.checks:
                     if chk.index not in evrs:
                         evrs[chk.index] = exception_result(chk.config, exc, tb)
@@ -336,19 +356,28 @@ class SparkValidator:
             domains.append(dom)
         return exc_entries, domains
 
-    def _plan_domain(self, spark, map_checks, agg_checks, job_checks) -> DomainPlan:
+    def _plan_domain(
+        self, spark, map_checks, agg_checks, job_checks,
+        force_single: bool = False,
+    ) -> DomainPlan:
         """Build one domain's DomainPlan: the fused stat expressions,
         their partial/merge split for the single-pass executor, and the
         bounded violation collectors. Schema- and option-dependent
-        only — reusable across every batch with the same schema."""
+        only — reusable across every batch with the same schema.
+
+        ``force_single`` is for callers that always execute the
+        per-partition partial plan and handle deferred conditions at
+        their own finalize (the checkpoint runner's per-group grid).
+        """
         agg_exprs = collect_agg_exprs(map_checks, agg_checks, job_checks)
 
         # strategy: the single-pass executor computes the fused stats
         # AND the bounded violation samples in ONE per-partition agg
         # job (payloads decode once); deferred conditions (z-score)
         # need resolved stats first, so they force the classic plan.
-        use_single = self.strategy in ("auto", "single_pass") and not any(
-            c.deferred for c in map_checks
+        use_single = force_single or (
+            self.strategy in ("auto", "single_pass")
+            and not any(c.deferred for c in map_checks)
         )
 
         partials = merges = leftover = None
@@ -766,7 +795,16 @@ class CompiledSuite:
         self.suite = suite
         self.schema = schema
         self._spark = spark
-        self._rebound: Optional[tuple] = None
+        # memoized rebinds for per-batch evaluation parameters, keyed
+        # by the canonical param payload (bounded, FIFO eviction)
+        self._rebound: Dict[str, "CompiledSuite"] = {}
+        # the EFFECTIVE compiled parameters: suite-stored ones with
+        # the compile-call overrides on top (same merge order as the
+        # one-shot validator) — the fast-path comparison target
+        self._effective_params = dict(
+            getattr(suite, "evaluation_parameters", None) or {}
+        )
+        self._effective_params.update(evaluation_parameters or {})
         self._opts = dict(
             aux_tables=aux_tables,
             result_format=result_format,
@@ -791,33 +829,48 @@ class CompiledSuite:
         df: DataFrame,
         evaluation_parameters: Optional[Dict[str, Any]] = None,
     ) -> ExpectationSuiteValidationResult:
-        if [f.name for f in df.schema.fields] != [
-            f.name for f in self.schema.fields
-        ]:
+        # guard on names AND types: compilers type-specialize against
+        # the compiled schema (e.g. between-bounds parse to datetime
+        # literals for temporal columns), so a same-names/different-
+        # types batch would silently run a stale specialized plan.
+        # Nullability/metadata differences are benign and ignored.
+        sig = lambda sch: [(f.name, f.dataType) for f in sch.fields]  # noqa: E731
+        if sig(df.schema) != sig(self.schema):
             raise ValueError(
-                "CompiledSuite was compiled for columns "
-                f"{[f.name for f in self.schema.fields]} but the batch has "
-                f"{[f.name for f in df.schema.fields]}; recompile with "
+                "CompiledSuite was compiled for schema "
+                f"{sig(self.schema)} but the batch has "
+                f"{sig(df.schema)}; recompile with "
                 "compile_suite(suite, df.schema, spark)"
             )
-        if (
-            evaluation_parameters is not None
-            and evaluation_parameters
-            != (self._opts.get("evaluation_parameters") or {})
-        ):
-            # parameters are literal constants inside the compiled
-            # expressions — different values need a recompile, cached
-            # on the values so stable params stay on the fast path
-            if self._rebound is None or self._rebound[0] != evaluation_parameters:
-                opts = dict(self._opts)
-                opts["evaluation_parameters"] = dict(evaluation_parameters)
-                self._rebound = (
-                    dict(evaluation_parameters),
-                    CompiledSuite(
-                        self.suite, self.schema, self._spark, **opts
-                    ),
+        if evaluation_parameters is not None:
+            # fast-path comparison against the EFFECTIVE compiled
+            # params (suite-stored ∪ compile overrides) — passing the
+            # values already compiled in must not recompile
+            target = dict(
+                getattr(self.suite, "evaluation_parameters", None) or {}
+            )
+            target.update(evaluation_parameters)
+            if target != self._effective_params:
+                # parameters are literal constants inside the compiled
+                # expressions — different values need a recompile,
+                # memoized per value-set (bounded) so both stable and
+                # alternating threshold sets stay on the fast path
+                key = json.dumps(
+                    evaluation_parameters, sort_keys=True, default=str
                 )
-            return self._rebound[1].validate(df)
+                cached = self._rebound.get(key)
+                if cached is None:
+                    if len(self._rebound) >= 16:
+                        self._rebound.pop(next(iter(self._rebound)))
+                    opts = dict(self._opts)
+                    opts["evaluation_parameters"] = dict(
+                        evaluation_parameters
+                    )
+                    cached = CompiledSuite(
+                        self.suite, self.schema, self._spark, **opts
+                    )
+                    self._rebound[key] = cached
+                return cached.validate(df)
         return SparkValidator(
             df, self.suite, _compiled=self, **self._opts
         ).validate()

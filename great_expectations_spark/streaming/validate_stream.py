@@ -43,18 +43,26 @@ def validation_foreach_batch(
     line per batch: {batch_id, ts, statistics, results}) and/or to the
     ``on_result(batch_id, suite_result)`` callback.
     """
-    state: dict = {}
+    # keyed by batch schema so one callback attached to several
+    # queries (or a query whose schema evolves) holds one compiled
+    # plan per schema instead of thrashing a single slot; bounded
+    # FIFO. dict item ops are atomic under the GIL — worst case two
+    # query threads compile the same schema once each and one wins.
+    compiled_by_schema: dict = {}
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        compiled = state.get("compiled")
-        if compiled is None or compiled.schema != batch_df.schema:
+        key = batch_df.schema.json()
+        compiled = compiled_by_schema.get(key)
+        if compiled is None:
+            if len(compiled_by_schema) >= 8:
+                compiled_by_schema.pop(next(iter(compiled_by_schema)))
             compiled = compile_suite(
                 suite,
                 batch_df.schema,
                 batch_df.sparkSession,
                 result_format=result_format,
             )
-            state["compiled"] = compiled
+            compiled_by_schema[key] = compiled
         result = compiled.validate(batch_df)
         if result_path is not None:
             line = json.dumps(

@@ -179,3 +179,48 @@ def test_compiled_per_batch_evaluation_parameters(spark):
     again = compiled.validate(df, evaluation_parameters={"cap": 10})
     assert "compile" not in again.meta["phase_times"]
     assert strip_meta(again) == strip_meta(got)
+
+
+def test_compiled_schema_type_mismatch_raises(spark):
+    """Same names, different types must raise — compilers
+    type-specialize against the compiled schema."""
+    suite = ges.suite("types").expect(
+        "expect_column_values_to_be_between", column="x",
+        min_value=0, max_value=5,
+    )
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    stringy = T.StructType(
+        [
+            T.StructField("x", T.StringType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    df = spark.createDataFrame([("1", 1.0, "a")], stringy)
+    with pytest.raises(ValueError, match="recompile"):
+        compiled.validate(df)
+
+
+def test_compiled_params_fast_path_and_bounded_cache(spark):
+    """Passing the already-compiled effective params must NOT
+    recompile; alternating value-sets are memoized per set."""
+    suite = ges.suite("pcache").expect(
+        "expect_column_values_to_be_between", column="x",
+        min_value=0, max_value={"$PARAMETER": "cap"},
+    )
+    suite.evaluation_parameters = {"cap": 3}
+    compiled = ges.compile_suite(suite, SCHEMA, spark)
+    df = spark.createDataFrame(BATCH_A, SCHEMA)
+
+    # same values as compiled → fast path, no rebind entry
+    res = compiled.validate(df, evaluation_parameters={"cap": 3})
+    assert res.results[0].result["unexpected_count"] == 1
+    assert len(compiled._rebound) == 0
+
+    # alternating sets → one memoized rebind each, reused thereafter
+    for cap in (5, 10, 5, 10, 5):
+        compiled.validate(df, evaluation_parameters={"cap": cap})
+    assert len(compiled._rebound) == 2
+    rebound_ids = {id(v) for v in compiled._rebound.values()}
+    compiled.validate(df, evaluation_parameters={"cap": 5})
+    assert {id(v) for v in compiled._rebound.values()} == rebound_ids
