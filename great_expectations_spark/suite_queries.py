@@ -1114,21 +1114,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     needs NO extra pass because the propagated label IS the component
     min. The oracle computes the exact transitive closure, so a
     corpus whose diameter exceeded the round budget would fail
-    parity loudly instead of silently under-merging."""
+    parity loudly instead of silently under-merging.
+
+    Propagation runs ONLY over candidate-involved vertices: a doc
+    with no candidate edge is its own singleton component and its
+    label can never change, so shuffling the full corpus label table
+    through every round (O(corpus x rounds)) is wasted — the involved
+    set is O(candidate docs). The corpus then LEFT-joins the small
+    converged label table once (AQE broadcasts it), coalescing
+    singletons to (own id, keep, size 1)."""
     cand = _shared_stage(
         "cand_pairs", spark, sf_dir,
         lambda: dedup_minhash_pairs(spark, sf_dir),
     )
-    d = _t(spark, sf_dir, "documents")
-    labels = min_label_components(cand, d)
+    involved = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    labels = min_label_components(cand, involved)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
-    return labels.join(sizes, "cluster_id").select(
+    lab = labels.join(sizes, "cluster_id")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return d.join(lab, "doc_id", "left").select(
         "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
-        "cluster_size",
+        cid.alias("cluster_id"),
+        (F.col("doc_id") == cid).alias("keep"),
+        F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
     )
 
 
