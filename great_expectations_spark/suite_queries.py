@@ -18,7 +18,7 @@ instead of all-pairs joins.
 from __future__ import annotations
 
 import os
-from typing import Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -717,14 +717,13 @@ def clear_sigs_cache() -> None:
 # corpus with hot buckets.
 _LSH_BUCKET_CAP = 64
 
-_MINHASH_DUCK_PAIRS = f"""
-    WITH sigs AS ({_MINHASH_DUCK_SIGS}),
-    bands AS (
-      {" UNION ALL ".join(
-        f"SELECT doc_id, {b} AS band_idx, band{b} AS bv FROM sigs"
-        for b in range(_BANDS)
-      )}
-    ),
+
+def _capped_pairs_sql(cap: int = _LSH_BUCKET_CAP) -> str:
+    """DuckDB tail for the hybrid capped-bucket pair emission over a
+    `bands(doc_id, band_idx, bv)` CTE — the SQL mirror of
+    `_capped_band_pairs` (same small/star semantics, so parity holds
+    even on a corpus with hot buckets)."""
+    return f"""
     sized AS (
       SELECT doc_id, band_idx, bv,
              count(*) OVER (PARTITION BY band_idx, bv) AS n,
@@ -735,14 +734,96 @@ _MINHASH_DUCK_PAIRS = f"""
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sized a JOIN sized b
         ON a.band_idx = b.band_idx AND a.bv = b.bv
-      WHERE a.n BETWEEN 2 AND {_LSH_BUCKET_CAP} AND a.doc_id < b.doc_id
+      WHERE a.n BETWEEN 2 AND {cap} AND a.doc_id < b.doc_id
     ),
     big AS (
       SELECT hub AS doc_a, doc_id AS doc_b
-      FROM sized WHERE n > {_LSH_BUCKET_CAP} AND doc_id != hub
+      FROM sized WHERE n > {cap} AND doc_id != hub
+    ),
+    pairs AS (
+      SELECT DISTINCT doc_a, doc_b
+      FROM (SELECT * FROM small UNION ALL SELECT * FROM big) u
     )
-    SELECT DISTINCT doc_a, doc_b
-    FROM (SELECT * FROM small UNION ALL SELECT * FROM big) u
+    """
+
+
+def _capped_band_pairs(
+    bands: DataFrame, cap: int = _LSH_BUCKET_CAP
+) -> DataFrame:
+    """Distinct candidate pairs from (doc_id, band_idx, bv) band rows
+    with bounded per-bucket state: buckets of 2..cap docs emit exact
+    all-pairs from a provably <=cap collect_list; bigger (hot)
+    buckets emit O(n) star pairs (bucket-min doc -> member), which
+    preserves connected components. ONE wide exchange of band rows
+    that every consumer reuses (ReuseExchange), hash aggregation
+    only — no sort, no WindowExec. See dedup_minhash_pairs for the
+    full plan narrative."""
+    rep = bands.repartition("band_idx", "bv")
+    counts = rep.groupBy("band_idx", "bv").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("hub")
+    )
+    # shuffle-hash, not sort-merge: both sides are already partitioned
+    # on the join keys (the probe reuses the SAME exchange instance —
+    # ReuseExchange dedups it, so the input is scanned once), and SHJ
+    # skips the per-partition sort SMJ would add; the build side holds
+    # one (n, hub) per bucket
+    joined = rep.join(
+        counts.hint("shuffle_hash"), ["band_idx", "bv"]
+    ).where(F.col("n") >= 2)
+    star_key = F.when(F.col("n") > cap, F.col("doc_id")).otherwise(
+        F.lit(-1)
+    )
+    buckets = joined.groupBy("band_idx", "bv", star_key.alias("sk")).agg(
+        F.first("n").alias("n"),
+        F.first("hub").alias("hub"),
+        F.sort_array(F.collect_list("doc_id")).alias("ids"),
+    )
+    empty = F.array().cast("array<struct<doc_a:bigint,doc_b:bigint>>")
+    pairs = buckets.select(
+        F.explode(
+            F.when(
+                F.col("n") <= cap,
+                F.flatten(
+                    F.transform(
+                        F.col("ids"),
+                        lambda x, i: F.transform(
+                            F.slice(
+                                F.col("ids"),
+                                i + 2,
+                                F.size(F.col("ids")) - i - 1,
+                            ),
+                            lambda y: F.struct(
+                                x.alias("doc_a"), y.alias("doc_b")
+                            ),
+                        ),
+                    )
+                ),
+            )
+            .when(
+                F.col("sk") != F.col("hub"),
+                F.array(
+                    F.struct(
+                        F.col("hub").alias("doc_a"),
+                        F.col("sk").alias("doc_b"),
+                    )
+                ),
+            )
+            .otherwise(empty)
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+_MINHASH_DUCK_PAIRS = f"""
+    WITH sigs AS ({_MINHASH_DUCK_SIGS}),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, band{b} AS bv FROM sigs"
+        for b in range(_BANDS)
+      )}
+    ),
+    {_capped_pairs_sql()}
+    SELECT doc_a, doc_b FROM pairs
 """
 
 
@@ -783,7 +864,8 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowExec costs ~100us per tiny bucket and regressed 48% vs the
     r1 hash agg (5.8s vs 3.9s at sf0.1). This build keeps the window
     version's boundedness with hash aggregation only — no sort, no
-    WindowExec — and measured 3.6s."""
+    WindowExec — and measured 3.6s. The exchange/agg/emission tail is
+    shared with the phash pipeline as _capped_band_pairs."""
     sigs = _sigs(spark, sf_dir)
     bands = sigs.select(
         "doc_id",
@@ -791,63 +873,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.col(f"band{b}") for b in range(_BANDS)])
         ).alias("band_idx", "bv"),
     )
-    rep = bands.repartition("band_idx", "bv")
-    counts = rep.groupBy("band_idx", "bv").agg(
-        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("hub")
-    )
-    # shuffle-hash, not sort-merge: both sides are already partitioned
-    # on the join keys (the probe reuses the SAME exchange instance —
-    # ReuseExchange dedups it, so the input is scanned once), and SHJ
-    # skips the per-partition sort SMJ would add; the build side holds
-    # one (n, hub) per bucket
-    joined = rep.join(
-        counts.hint("shuffle_hash"), ["band_idx", "bv"]
-    ).where(F.col("n") >= 2)
-    star_key = F.when(
-        F.col("n") > _LSH_BUCKET_CAP, F.col("doc_id")
-    ).otherwise(F.lit(-1))
-    buckets = (
-        joined.groupBy("band_idx", "bv", star_key.alias("sk"))
-        .agg(
-            F.first("n").alias("n"),
-            F.first("hub").alias("hub"),
-            F.sort_array(F.collect_list("doc_id")).alias("ids"),
-        )
-    )
-    empty = F.array().cast("array<struct<doc_a:bigint,doc_b:bigint>>")
-    pairs = buckets.select(
-        F.explode(
-            F.when(
-                F.col("n") <= _LSH_BUCKET_CAP,
-                F.flatten(
-                    F.transform(
-                        F.col("ids"),
-                        lambda x, i: F.transform(
-                            F.slice(
-                                F.col("ids"),
-                                i + 2,
-                                F.size(F.col("ids")) - i - 1,
-                            ),
-                            lambda y: F.struct(
-                                x.alias("doc_a"), y.alias("doc_b")
-                            ),
-                        ),
-                    )
-                ),
-            )
-            .when(
-                F.col("sk") != F.col("hub"),
-                F.array(
-                    F.struct(
-                        F.col("hub").alias("doc_a"),
-                        F.col("sk").alias("doc_b"),
-                    )
-                ),
-            )
-            .otherwise(empty)
-        ).alias("p")
-    )
-    return pairs.select("p.doc_a", "p.doc_b").distinct()
+    return _capped_band_pairs(bands)
 
 
 
@@ -1287,6 +1313,186 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+# --- perceptual-hash (image) near-dup --------------------------------------
+# The north-rule table is image+caption rows with a 64-bit perceptual
+# hash (phash:int64). Near-duplicate images differ in a few phash bits,
+# so dedup is hamming-radius search: band-LSH over the hash's 16-bit
+# words (two hashes within hamming<=r collide on at least one of 4
+# bands whenever their differing bits fall in <=3 words — always true
+# for r<=3, overwhelmingly for the radius used here), then exact
+# bit_count(xor) verification on candidates only. The testdata tables
+# carry no binary payload, so the phash itself is DERIVED
+# deterministically from doc_id in both engines: docs share a group
+# (30% of docs land in one hot "boilerplate" group, the rest spread
+# over 211 groups), group -> 4 md5-derived 16-bit words, and odd docs
+# flip one low word bit — planted near-dups with hamming<=2 inside a
+# group, ~32 expected across groups.
+
+_PHASH_HAMMING_MAX = 6
+
+
+def _phash_parts_sql(dialect: str) -> Tuple[List[str], str]:
+    """(4 16-bit word exprs, packed 63-bit phash expr) over a
+    documents row, per dialect."""
+    stype = "VARCHAR" if dialect == "duck" else "STRING"
+    grp = (
+        "(CASE WHEN doc_id % 10 < 3 THEN -1 ELSE doc_id % 211 END)"
+    )
+    words = []
+    for i in range(4):
+        tok = f"concat('ph', CAST({grp} AS {stype}), ':{i}')"
+        w = f"CAST({_hexval_sql(tok, dialect)} AS BIGINT)"
+        if i == 0:
+            w = f"({w} % 32768)"  # keep the packed value inside int64
+        words.append(w)
+    flip = "CAST(round(power(2, doc_id % 16)) AS BIGINT)"
+    w3 = (
+        f"(CASE WHEN doc_id % 2 = 1 THEN xor({words[3]}, {flip}) "
+        f"ELSE {words[3]} END)"
+        if dialect == "duck"
+        else f"(CASE WHEN doc_id % 2 = 1 THEN ({words[3]} ^ {flip}) "
+        f"ELSE {words[3]} END)"
+    )
+    words = [words[0], words[1], words[2], w3]
+    packed = (
+        f"({words[0]} * 281474976710656 + {words[1]} * 4294967296 "
+        f"+ {words[2]} * 65536 + {words[3]})"
+    )
+    return words, packed
+
+
+def _phash_duck_sql() -> str:
+    words, packed = _phash_parts_sql("duck")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {words[0]} AS w0, {words[1]} AS w1,
+             {words[2]} AS w2, {words[3]} AS w3,
+             {packed} AS phash
+      FROM documents
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, w{i} AS bv FROM base"
+        for i in range(4)
+      )}
+    ),
+    {_capped_pairs_sql()}
+    SELECT p.doc_a, p.doc_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM pairs p
+    JOIN base a ON a.doc_id = p.doc_a
+    JOIN base b ON b.doc_id = p.doc_b
+    WHERE bit_count(xor(a.phash, b.phash)) <= {_PHASH_HAMMING_MAX}
+    """
+
+
+@register("phash_hamming_neardup", _phash_duck_sql())
+def phash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash hamming radius:
+    band-LSH over the 4 16-bit words of a 64-bit phash (pure JVM
+    expressions), hybrid capped-bucket candidate emission
+    (_capped_band_pairs — a boilerplate mega-group degrades to O(n)
+    star pairs, never O(n^2)), then bit_count(xor) verification on
+    candidates only. At corpus scale: one projection builds the
+    words, one wide exchange of slim (doc_id, band_idx, bv) rows is
+    reused by the count and probe sides, and verification joins touch
+    only candidate ids — the full corpus is never pairwise-compared.
+
+    The reference has no phash dedup; this is the image-payload
+    analogue of its uniqueness checks (north-rule input shape
+    `phash:int64`). Reference parity anchor for expectation-style
+    uniqueness: great_expectations/expectations/core/
+    expect_column_values_to_be_unique.py."""
+    words, packed = _phash_parts_sql("spark")
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        *[F.expr(w).alias(f"w{i}") for i, w in enumerate(words)],
+        F.expr(packed).alias("phash"),
+    )
+    bands = base.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"w{i}") for i in range(4)])
+        ).alias("band_idx", "bv"),
+    )
+    pairs = _capped_band_pairs(bands)
+    ph = base.select("doc_id", "phash")
+    a = ph.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("pa")
+    )
+    b = ph.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("pb")
+    )
+    hamming = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(hamming <= _PHASH_HAMMING_MAX)
+        .select(
+            "doc_a", "doc_b", hamming.cast("int").alias("hamming")
+        )
+    )
+
+
+def _phash_band_stats_duck_sql() -> str:
+    words, _ = _phash_parts_sql("duck")
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             {words[0]} AS w0, {words[1]} AS w1,
+             {words[2]} AS w2, {words[3]} AS w3
+      FROM documents
+    ),
+    bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_idx, w{i} AS bv FROM base"
+        for i in range(4)
+      )}
+    ),
+    buckets AS (
+      SELECT band_idx, bv, count(*) AS n
+      FROM bands GROUP BY band_idx, bv
+    )
+    SELECT band_idx,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END)
+                AS BIGINT) AS capped_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket
+    FROM buckets
+    GROUP BY band_idx
+    """
+
+
+@register("phash_band_stats", _phash_band_stats_duck_sql())
+def phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounting for the phash hamming-LSH cap: per 16-bit-word band,
+    how many buckets exist, how many exceeded _LSH_BUCKET_CAP (and so
+    degraded to star pairs in phash_hamming_neardup), and the largest
+    bucket. Same no-silent-caps contract as dedup_minhash_hot_buckets
+    — an operator sees exactly which boilerplate image clusters were
+    capped and how big they were before trusting the near-dup pass."""
+    words, _ = _phash_parts_sql("spark")
+    d = _t(spark, sf_dir, "documents")
+    bands = d.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(w) for w in words])
+        ).alias("band_idx", "bv"),
+    )
+    buckets = bands.groupBy("band_idx", "bv").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return buckets.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(
+            F.when(F.col("n") > _LSH_BUCKET_CAP, 1).otherwise(0)
+        ).alias("capped_buckets"),
+        F.max("n").alias("max_bucket"),
+    )
+
+
 def _vec_dot(x, y):
     """JVM array-expression dot product (no Python)."""
     return F.aggregate(
@@ -1684,6 +1890,110 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "assigned_label",
+            "neighbor_id",
+            F.round("full_sim", 6).alias("sim"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "ann_multiprobe_topk",
+    """
+    WITH ex AS (
+      SELECT label, vec_id,
+             unnest(CAST(embedding AS DOUBLE[])) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ),
+    centroids AS (
+      SELECT label, list(cval ORDER BY pos) AS cvec
+      FROM (SELECT label, pos, avg(val) AS cval
+            FROM ex GROUP BY label, pos)
+      GROUP BY label
+    ),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 10),
+    probed AS (
+      SELECT query_id, qv, label AS probe_label
+      FROM (
+        SELECT q.query_id, q.qv, c.label,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY list_cosine_similarity(q.qv, c.cvec) DESC,
+                          c.label
+               ) AS rn
+        FROM q CROSS JOIN centroids c
+      ) WHERE rn <= 2
+    )
+    SELECT a.query_id, a.probe_label, e.vec_id AS neighbor_id,
+           round(list_cosine_similarity(
+             a.qv, CAST(e.embedding AS DOUBLE[])), 6) AS sim,
+           CAST(row_number() OVER (
+             PARTITION BY a.query_id
+             ORDER BY list_cosine_similarity(
+               a.qv, CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id
+           ) AS BIGINT) AS rank
+    FROM probed a
+    JOIN embeddings e ON e.label = a.probe_label
+                      AND e.vec_id <> a.query_id
+    QUALIFY rank <= 3
+    """,
+)
+def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN: same centroid build and bucketed probe as
+    ann_ivf_topk, but each query scans its TWO nearest buckets —
+    the standard recall fix for queries that land near a Voronoi
+    boundary (their true neighbors straddle two cells). Cost stays
+    bounded at 2/K of the corpus per query instead of 1/K; the probe
+    set is still a broadcast, and every neighbor's label matches at
+    most one probed bucket so no dedup pass is needed before the
+    global top-k."""
+    e = _t(spark, sf_dir, "embeddings")
+    cent = _ivf_centroids(e)
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qv"),
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.desc("csim"), F.asc("label")
+    )
+    probed = (
+        q.crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "qv",
+            "label",
+            _vec_cos(F.col("qv"), F.col("cvec")).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= 2)
+        .select("query_id", "qv", F.col("label").alias("probe_label"))
+    )
+    cand = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    scored = cand.join(
+        F.broadcast(probed),
+        (F.col("label") == F.col("probe_label"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "probe_label",
+        "neighbor_id",
+        _vec_cos(F.col("qv"), F.col("cv")).alias("full_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("full_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            "probe_label",
             "neighbor_id",
             F.round("full_sim", 6).alias("sim"),
             "rank",
