@@ -77,6 +77,9 @@ HEADLINE = [
     "embedding_bucket_stats",
     "ann_ivf_topk",
     "ann_kmeans_topk",
+    "ann_multiprobe_topk",
+    "phash_hamming_neardup",
+    "phash_band_stats",
     "text_quality_scores",
     "token_count_by_source",
     "doc_fingerprints",

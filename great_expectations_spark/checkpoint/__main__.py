@@ -1,10 +1,13 @@
 """spark-submit entrypoint for checkpointed suite runs.
 
-Production launch (package shipped to executors via --py-files):
+Production launch (package shipped to executors via --py-files;
+spark-submit takes a script file, so use the thin driver):
 
     zip -r ges.zip great_expectations_spark
-    spark-submit --py-files ges.zip \\
-        -m great_expectations_spark.checkpoint ... # or this file
+    spark-submit --py-files ges.zip tools/submit_checkpoint.py \\
+        --table ... --suite ... --state-dir ... --run-id ...
+
+Local/dev launch (plain Python, same flags):
 
     python -m great_expectations_spark.checkpoint \\
         --table /data/images_table \\
