@@ -82,6 +82,8 @@ HEADLINE = [
     "phash_band_stats",
     "text_quality_scores",
     "token_count_by_source",
+    "doc_repetition_scores",
+    "ngram_contamination",
     "doc_fingerprints",
     "doc_winnow_fingerprints",
 ]

@@ -2485,6 +2485,164 @@ def doc_winnow_fingerprints(
     )
 
 
+@register(
+    "doc_repetition_scores",
+    """
+    SELECT doc_id,
+           CAST(len(tri) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(tri)) AS BIGINT) AS distinct_trigrams,
+           round(1.0 - len(list_distinct(tri)) * 1.0 / len(tri), 4)
+             AS trigram_rep_ratio,
+           round(1.0 - len(list_distinct(words)) * 1.0 / len(words), 4)
+             AS token_rep_ratio
+    FROM (
+      SELECT doc_id, words,
+             list_transform(
+               range(len(words) - 2),
+               i -> array_to_string(words[i + 1 : i + 3], ' ')
+             ) AS tri
+      FROM (SELECT doc_id, string_split(text, ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 3
+    )
+    """,
+)
+def doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText-style
+    repetition filter): duplicate-trigram and duplicate-token ratios
+    per doc. Highly repetitive docs (boilerplate, keyword stuffing,
+    generation loops) score near 1 and get dropped by a filter
+    expectation downstream. Single projection, per-doc array work
+    only — no shuffle, trivially partition-parallel at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.split(F.col("text"), " ").alias("words")
+    ).where(F.size("words") >= 3)
+    base = base.withColumn(
+        "tri",
+        F.expr(
+            "transform(sequence(0, size(words) - 3), "
+            "i -> concat_ws(' ', slice(words, i + 1, 3)))"
+        ),
+    )
+    n_tri = F.size("tri")
+    d_tri = F.size(F.array_distinct(F.col("tri")))
+    n_w = F.size("words")
+    d_w = F.size(F.array_distinct(F.col("words")))
+    return base.select(
+        "doc_id",
+        n_tri.cast("long").alias("n_trigrams"),
+        d_tri.cast("long").alias("distinct_trigrams"),
+        F.round(1.0 - d_tri / n_tri, 4).alias("trigram_rep_ratio"),
+        F.round(1.0 - d_w / n_w, 4).alias("token_rep_ratio"),
+    )
+
+
+_CONTAM_BENCH_SOURCE = "src0"  # stand-in benchmark/eval split
+
+_CONTAM_GRAMS_DUCK = """
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(len(words) - 4),
+               i -> md5(array_to_string(words[i + 1 : i + 5], ' '))
+             )) AS grams
+      FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+            FROM documents)
+      WHERE len(words) >= 5
+"""
+
+
+@register(
+    "ngram_contamination",
+    f"""
+    WITH g AS ({_CONTAM_GRAMS_DUCK}),
+    bench AS (
+      SELECT DISTINCT unnest(grams) AS gram
+      FROM g WHERE source = '{_CONTAM_BENCH_SOURCE}'
+    ),
+    corp AS (
+      SELECT doc_id, source, unnest(grams) AS gram
+      FROM g WHERE source <> '{_CONTAM_BENCH_SOURCE}'
+    ),
+    per_doc AS (
+      SELECT c.doc_id, c.source,
+             count(*) AS n,
+             sum(CASE WHEN b.gram IS NOT NULL THEN 1 ELSE 0 END) AS hits
+      FROM corp c LEFT JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id, c.source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS contaminated_docs,
+           CAST(sum(hits) AS BIGINT) AS hit_grams,
+           CAST(sum(n) AS BIGINT) AS total_grams,
+           round(sum(hits) * 1.0 / sum(n), 4) AS overlap_frac
+    FROM per_doc
+    GROUP BY source
+    """,
+)
+def ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination accounting: 5-gram overlap between
+    the corpus and a benchmark split (here source='src0' stands in
+    for an eval set). Per source: docs checked, docs with any hit,
+    and exact hit/total gram counts (integers, so the oracle compare
+    is exact; the frac is one division of those sums).
+
+    100 TB shape: the benchmark side of a decontamination pass is
+    eval-set sized (tiny), so its distinct-gram set BROADCASTS and the
+    corpus side is one scan + per-doc array work + map-side hash join
+    — no corpus-sized shuffle. Gram identity is md5 of the joined
+    window, so the broadcast carries fixed-width keys, not text."""
+    d = _t(spark, sf_dir, "documents")
+    # md5 stays OUT of the transform lambda: higher-order lambdas are
+    # interpreter-evaluated, so hash after the explode where whole-stage
+    # codegen runs it (same trick as the minhash shingle pipeline).
+    grams = (
+        d.select(
+            "doc_id", "source", F.split(F.col("text"), " ").alias("words")
+        )
+        .where(F.size("words") >= 5)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(0, size(words) - 5), "
+                    "i -> concat_ws(' ', slice(words, i + 1, 5)))"
+                )
+            ).alias("grams"),
+        )
+    )
+    bench = (
+        grams.where(F.col("source") == _CONTAM_BENCH_SOURCE)
+        .select(F.explode("grams").alias("g"))
+        .select(F.md5("g").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corp = (
+        grams.where(F.col("source") != _CONTAM_BENCH_SOURCE)
+        .select("doc_id", "source", F.explode("grams").alias("g"))
+        .select("doc_id", "source", F.md5("g").alias("gram"))
+    )
+    per_doc = (
+        corp.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("hits"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum((F.col("hits") > 0).cast("int")).alias("contaminated_docs"),
+        F.sum("hits").alias("hit_grams"),
+        F.sum("n").alias("total_grams"),
+        F.round(F.sum("hits") / F.sum("n"), 4).alias("overlap_frac"),
+    )
+
+
 # =============================================================================
 # 10. Windowed / ordered operators over the events stream table —
 #     rollups, sessionization, grouped top-k (SURVEY.md §2.2 window
