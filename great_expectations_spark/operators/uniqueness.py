@@ -186,8 +186,104 @@ def compile_compound_unique(index, cfg, schema) -> JobCheck:
     )
 
 
+def compile_phash_near_duplicate_rate(index, cfg, schema) -> JobCheck:
+    """expect_column_phash_near_duplicate_rate_to_be_between: the
+    fraction of rows whose 64-bit perceptual hash lies within
+    ``max_hamming`` bits of another row's — near-duplicate images by
+    content, not byte equality. No reference counterpart (its Spark
+    uniqueness checks are exact-match only, column_values_unique.py);
+    this is the declarative face of the phash_hamming_neardup
+    pipeline over the north-rule ``phash:int64`` column.
+
+    Plan (scale-safe, never all-pairs): split each hash into its four
+    16-bit words (two hashes within hamming<=3 ALWAYS share a word;
+    within the default 6, overwhelmingly), band-LSH on the words with
+    the capped-bucket hybrid (suite_queries._capped_band_pairs: hot
+    boilerplate buckets degrade to O(n) star pairs — in a capped
+    bucket membership is decided against the hub only, the documented
+    approximation), verify candidates with bit_count(xor), count
+    DISTINCT involved rows. kwargs: max_hamming (default 6),
+    bucket_cap (default 64), min_value/max_value bounds on the rate.
+    """
+    from ..core.result import validate_metric_value_between
+
+    column = cfg.kwargs["column"]
+    max_hamming = int(cfg.kwargs.get("max_hamming", 6))
+    bucket_cap = int(cfg.kwargs.get("bucket_cap", 64))
+    kw = {
+        "min_value": cfg.kwargs.get("min_value"),
+        "max_value": cfg.kwargs.get("max_value"),
+        "strict_min": bool(cfg.kwargs.get("strict_min", False)),
+        "strict_max": bool(cfg.kwargs.get("strict_max", False)),
+    }
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        from ..suite_queries import _capped_band_pairs
+
+        # persist pins the monotonically_increasing_id assignment: the
+        # frame is consumed by three subtrees (bands + both verify
+        # sides), and without materialization a re-planned recompute
+        # could assign different ids per subtree, joining pairs to the
+        # wrong hashes. 16 bytes/row, MEMORY_AND_DISK, freed below.
+        ids = (
+            df.select(F.col(column).cast("long").alias("ph"))
+            .where(F.col("ph").isNotNull())
+            .withColumn("doc_id", F.monotonically_increasing_id())
+            .persist()
+        )
+        try:
+            words = F.array(
+                *[
+                    F.shiftrightunsigned(
+                        F.col("ph"), 48 - 16 * w
+                    ).bitwiseAND(F.lit(0xFFFF))
+                    for w in range(4)
+                ]
+            )
+            bands = ids.select(
+                "doc_id", F.posexplode(words).alias("band_idx", "bv")
+            )
+            pairs = _capped_band_pairs(bands, cap=bucket_cap)
+            a = ids.select(
+                F.col("doc_id").alias("doc_a"), F.col("ph").alias("pa")
+            )
+            b = ids.select(
+                F.col("doc_id").alias("doc_b"), F.col("ph").alias("pb")
+            )
+            verified = (
+                pairs.join(a, "doc_a")
+                .join(b, "doc_b")
+                .where(
+                    F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+                    <= max_hamming
+                )
+            )
+            agg = verified.select(
+                F.explode(F.array("doc_a", "doc_b")).alias("d")
+            ).agg(F.count_distinct("d").alias("involved"))
+            involved = agg.first()["involved"]
+            element_count = ids.count()
+        finally:
+            ids.unpersist()
+        rate = involved / element_count if element_count else 0.0
+        out = validate_metric_value_between(rate, **kw)
+        return out["success"], {
+            "observed_value": rate,
+            "element_count": element_count,
+            "details": {
+                "near_duplicate_rows": involved,
+                "max_hamming": max_hamming,
+            },
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
 UNIQUE_COMPILERS = {
     "expect_column_values_to_be_unique": compile_values_unique,
+    "expect_column_phash_near_duplicate_rate_to_be_between": (
+        compile_phash_near_duplicate_rate
+    ),
     "expect_compound_columns_to_be_unique": compile_compound_unique,
     # "unique together" with all duplicate instances failed — identical
     # evaluation to the compound check

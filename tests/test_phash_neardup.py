@@ -95,6 +95,47 @@ def test_phash_band_stats_accounts_for_hot_group(spark, phash_dir):
     assert got == want
 
 
+def test_phash_near_duplicate_rate_expectation(spark):
+    """Declarative near-dup rate over an int64 phash column: 6 of 10
+    rows sit in hamming<=4 pairs (one pair negative-valued, exercising
+    the unsigned word split), 4 are far from everything. Rate = 0.6;
+    bounds above/below flip success."""
+    import great_expectations_spark as ges
+
+    b1 = 0x123456789ABCDEF0
+    b2 = 0x0F0E0D0C0B0A0908
+    b3 = -0x7FF0123456789ABC  # top bit set
+    hashes = [
+        b1, b1 ^ 0b11,            # hamming 2
+        b2, b2 ^ (1 << 17),       # hamming 1
+        b3, b3 ^ 0b1001,          # hamming 2
+        # all pairwise hamming > 10 from everything above and each other
+        0x72A74DE452E6B438, -0x1AECD8F1D961F2C9,
+        -0x73A3802F595C5BB0, 0x523F0824128B2F33,
+    ]
+    df = spark.createDataFrame([(h,) for h in hashes], "phash long")
+
+    ok = ges.validate(
+        df,
+        ges.suite("ph").expect(
+            "expect_column_phash_near_duplicate_rate_to_be_between",
+            column="phash", max_value=0.6, max_hamming=4,
+        ),
+    ).results[0]
+    assert ok.success
+    assert abs(ok.result["observed_value"] - 0.6) < 1e-9
+    assert ok.result["details"]["near_duplicate_rows"] == 6
+
+    bad = ges.validate(
+        df,
+        ges.suite("ph").expect(
+            "expect_column_phash_near_duplicate_rate_to_be_between",
+            column="phash", max_value=0.5, max_hamming=4,
+        ),
+    ).results[0]
+    assert not bad.success
+
+
 def test_capped_band_pairs_unit(spark):
     """Hand-built buckets: size-3 bucket -> exact all-pairs, size-6
     bucket (cap 4) -> star pairs from the bucket min, singleton -> none;
