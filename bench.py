@@ -80,6 +80,7 @@ HEADLINE = [
     "ann_multiprobe_topk",
     "phash_hamming_neardup",
     "phash_band_stats",
+    "phash_clusters",
     "text_quality_scores",
     "token_count_by_source",
     "doc_repetition_scores",

@@ -1030,8 +1030,11 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CC_ROUNDS = 8  # fixed-round mode for tests; see min_label_components
 _CC_MAX_ROUNDS = 32
 
-_CLUSTERS_DUCK = f"""
-    WITH RECURSIVE cand AS ({_MINHASH_DUCK_PAIRS}),
+def _clusters_duck_sql(cand_sql: str) -> str:
+    """Recursive-CTE exact transitive closure + keep table over any
+    candidate-pair SQL — the oracle mirror of _cluster_keep_table."""
+    return f"""
+    WITH RECURSIVE cand AS ({cand_sql}),
     edges AS (
       SELECT doc_a AS a, doc_b AS b FROM cand
       UNION
@@ -1057,6 +1060,9 @@ _CLUSTERS_DUCK = f"""
              AS cluster_size
     FROM assigned
 """
+
+
+_CLUSTERS_DUCK = _clusters_duck_sql(_MINHASH_DUCK_PAIRS)
 
 
 def min_label_components(
@@ -1153,6 +1159,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cand_pairs", spark, sf_dir,
         lambda: dedup_minhash_pairs(spark, sf_dir),
     )
+    return _cluster_keep_table(spark, sf_dir, cand)
+
+
+def _cluster_keep_table(
+    spark: SparkSession, sf_dir: str, cand: DataFrame
+) -> DataFrame:
+    """(doc_id, cluster_id, keep, cluster_size) over the full corpus
+    from candidate pairs: min-label propagation over the
+    candidate-involved vertices only, then one LEFT join back to the
+    corpus (AQE broadcasts the small converged label table)."""
     involved = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
@@ -1491,6 +1507,23 @@ def phash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("capped_buckets"),
         F.max("n").alias("max_bucket"),
     )
+
+
+@register("phash_clusters", _clusters_duck_sql(_phash_duck_sql()))
+def phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup endgame: connected components + canonical keeper
+    over the hamming-VERIFIED phash pairs — the keep/drop table of a
+    near-duplicate image pass, exactly symmetric to the text
+    pipeline's dedup_clusters (same min-label propagation over
+    candidate-involved vertices only, same exact-transitive-closure
+    oracle, so an under-merged graph fails parity loudly). The star
+    pairs a capped boilerplate bucket emits preserve connectivity, so
+    the mega-group still collapses to one keeper."""
+    cand = _shared_stage(
+        "phash_pairs", spark, sf_dir,
+        lambda: phash_hamming_neardup(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    return _cluster_keep_table(spark, sf_dir, cand)
 
 
 def _vec_dot(x, y):
