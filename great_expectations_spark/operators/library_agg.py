@@ -68,22 +68,44 @@ compile_stdev_between = _simple_agg_between(
 )
 
 
+def _distinct_count_need(column: str, cfg):
+    """(stat key, distinct-count expression) honoring the
+    ``approximate``/``rsd`` kwargs. Exact countDistinct expands every
+    distinct value through the shuffle — at 10^12 rows on a
+    high-cardinality column that exchange IS the job. With
+    approximate=True the stat is approx_count_distinct (HyperLogLog++,
+    fixed-size sketch partials, default rsd 0.05 — Spark's default),
+    which keeps the whole suite map-side-combinable. No reference
+    counterpart (its Spark engine is exact-only,
+    column_distinct_values.py:126-137); opt-in, default exact."""
+    c = F.col(column)
+    if cfg.kwargs.get("approximate"):
+        rsd = float(cfg.kwargs.get("rsd", 0.05))
+        return (
+            f"column.distinct_values.count~approx{rsd}:{column}",
+            F.approx_count_distinct(c, rsd),
+        )
+    return f"column.distinct_values.count:{column}", F.countDistinct(c)
+
+
 def compile_unique_value_count_between(index, cfg, schema):
-    """Exact distinct count (column_distinct_values.py:126-137)."""
+    """Exact distinct count (column_distinct_values.py:126-137);
+    approximate=True switches to a HyperLogLog++ sketch."""
     column = cfg.kwargs["column"]
-    key = f"column.distinct_values.count:{column}"
+    key, expr = _distinct_count_need(column, cfg)
     return AggCheck(
         index=index,
         config=cfg,
-        needs={key: F.countDistinct(F.col(column))},
+        needs={key: expr},
         finalize=lambda stats: _metric_between_outcome(stats.get(key), cfg),
     )
 
 
 def compile_proportion_unique_between(index, cfg, schema):
-    """distinct/nonnull (column_proportion_of_unique_values.py:41-66)."""
+    """distinct/nonnull (column_proportion_of_unique_values.py:41-66);
+    approximate=True switches the numerator to a HLL++ sketch."""
     column = cfg.kwargs["column"]
-    dkey = f"column.distinct_values.count:{column}"
+    dkey, dexpr = _distinct_count_need(column, cfg)
     nkey = f"nonnull:{column}"
 
     def finalize(stats):
@@ -97,7 +119,7 @@ def compile_proportion_unique_between(index, cfg, schema):
         index=index,
         config=cfg,
         needs={
-            dkey: F.countDistinct(c),
+            dkey: dexpr,
             nkey: F.sum(F.when(c.isNotNull(), 1).otherwise(0)),
         },
         finalize=finalize,

@@ -60,6 +60,29 @@ def test_fused_stats_match_pandas(df, pdf):
     ]
 
 
+def test_approximate_unique_count(df, pdf):
+    """approximate=True swaps countDistinct for the HLL++ sketch: at
+    low cardinality (k has 3 values) the sketch is exact, the two
+    forms coexist in one suite under distinct stat keys, and the
+    proportion variant tracks the numerator."""
+    s = (
+        ges.suite("approx")
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="k", min_value=3, max_value=3)
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="k", min_value=3, max_value=3, approximate=True)
+        .expect("expect_column_proportion_of_unique_values_to_be_between",
+                column="k", min_value=3 / 200 - 1e-9,
+                max_value=3 / 200 + 1e-9, approximate=True, rsd=0.01)
+    )
+    res = run_all(df, s)
+    assert res.success, [
+        (r.expectation_config.expectation_type, r.result)
+        for r in res.results
+    ]
+    assert res.results[1].result["observed_value"] == 3
+
+
 def test_observed_values(df, pdf):
     s = ges.suite("o").expect(
         "expect_column_mean_to_be_between", column="v", min_value=0, max_value=1
