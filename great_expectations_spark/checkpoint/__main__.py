@@ -49,6 +49,13 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--result-format", default="SUMMARY")
     ap.add_argument(
+        "--base-run-id",
+        default=None,
+        help="incremental mode: validate only the files appended "
+        "since this completed run, merging with its persisted "
+        "partials (append-only contract; fails loud on rewrites)",
+    )
+    ap.add_argument(
         "--master", default=None, help="override spark master (local dev)"
     )
     args = ap.parse_args(argv)
@@ -72,6 +79,7 @@ def main(argv=None) -> int:
             run_id=args.run_id,
             group_col=args.group_col,
             result_format=args.result_format,
+            base_run_id=args.base_run_id,
         )
         result = runner.run()
         print(json.dumps(result.statistics))

@@ -30,6 +30,24 @@ Finalize merges all groups' partials (Chan variance merge et al.)
 into table-level stats, runs the global-only work ONCE (countDistinct
 leftovers, two-phase uniqueness, referential anti-joins), and emits
 the standard suite result.
+
+Incremental runs (``base_run_id=...``): the pin stores the full data
+file listing (the parquet stand-in for an Iceberg snapshot manifest);
+a new run diffs its listing against the base run's under an
+append-only contract — any rewritten/removed base file fails loud,
+exactly like Iceberg refuses incremental reads across
+replace/overwrite snapshots. The heavy fused map/agg pass then scans
+ONLY the appended files, its partials merge with the base run's
+persisted partials (all of min/max/sum/count/mean/Chan-stddev and the
+additive map-condition counts merge exactly), and only the
+global-only finalize (exact distinct counts, two-phase uniqueness,
+referential anti-joins, the deferred z-score count) re-reads the full
+table — with column pruning, a few key columns rather than every
+byte. At 100 TB with a ~1 TB daily append, the per-day validation
+cost drops from a full-table scan to ~1% of bytes plus a narrow
+pruned scan. Inherited partials are consolidated into the new run's
+own state (``groups/__inherited*.json``), so chains of incremental
+runs stay O(1) deep.
 """
 
 from __future__ import annotations
@@ -58,22 +76,31 @@ from ..plans.planner import SparkValidator, split_checks
 from ..plans.single_pass import merge_stat_rows, run_single_pass
 
 
-def fingerprint_parquet_dir(path: str) -> str:
-    """Snapshot pin for a path-based table: hash of the sorted
-    (relative path, size) listing. An Iceberg table would pin the
-    snapshot id instead (sources/iceberg.py); for plain parquet this
-    listing is the closest stable identity — any file added, removed
-    or rewritten changes it."""
-    entries = []
+def list_parquet_files(path: str) -> List[List[Any]]:
+    """Sorted (relative path, size) listing of the data files under a
+    path-based table — the parquet stand-in for an Iceberg snapshot's
+    file manifest. Incremental runs diff two of these listings the way
+    an Iceberg incremental append scan diffs two snapshots."""
+    entries: List[List[Any]] = []
     for root, _, files in os.walk(path):
         for f in sorted(files):
             if f.startswith(("_", ".")):
                 continue
             p = os.path.join(root, f)
             entries.append(
-                (os.path.relpath(p, path), os.path.getsize(p))
+                [os.path.relpath(p, path), os.path.getsize(p)]
             )
     entries.sort()
+    return entries
+
+
+def fingerprint_parquet_dir(path: str) -> str:
+    """Snapshot pin for a path-based table: hash of the sorted
+    (relative path, size) listing. An Iceberg table would pin the
+    snapshot id instead (sources/iceberg.py); for plain parquet this
+    listing is the closest stable identity — any file added, removed
+    or rewritten changes it."""
+    entries = [tuple(e) for e in list_parquet_files(path)]
     h = hashlib.sha256(json.dumps(entries).encode())
     return h.hexdigest()[:16]
 
@@ -105,6 +132,7 @@ class CheckpointRunner:
         result_format: Any = "SUMMARY",
         actions: Optional[List[Any]] = None,
         evaluation_parameters: Optional[Dict[str, Any]] = None,
+        base_run_id: Optional[str] = None,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -117,6 +145,10 @@ class CheckpointRunner:
         self.result_format = result_format
         self.actions = list(actions or [])
         self.evaluation_parameters = dict(evaluation_parameters or {})
+        # incremental mode: validate only the files appended since
+        # `base_run_id` completed, inheriting that run's persisted
+        # mergeable partials (see run() for the full contract)
+        self.base_run_id = base_run_id
         os.makedirs(self.groups_dir, exist_ok=True)
 
     # -- plumbing -------------------------------------------------------------
@@ -124,10 +156,48 @@ class CheckpointRunner:
     def _df(self) -> DataFrame:
         return self.spark.read.parquet(self.table_path)
 
-    def _pin_batch(self) -> Dict[str, Any]:
-        """Record (or verify) the input snapshot + suite identity."""
+    def _grid_df(self, df: DataFrame, pinned: Dict[str, Any]) -> DataFrame:
+        """The DataFrame the per-group partial grid scans: the full
+        table for a normal run, ONLY the appended files for an
+        incremental run. The heavy fused map/agg pass (every column,
+        every map condition) therefore touches just the delta bytes;
+        the full table is read only by the global-only finalize work
+        (exact distinct / uniqueness / referential / the deferred
+        z-score pass), all of which scan a handful of pruned columns."""
+        if pinned.get("base_run_id") is None:
+            return df
+        delta = pinned.get("delta_files") or []
+        if not delta:
+            return self.spark.createDataFrame([], df.schema)
+        paths = [os.path.join(self.table_path, rel) for rel, _ in delta]
+        # basePath keeps hive-style partition columns (fmt=jpeg/...)
+        # in the schema when leaf files are read directly
+        gdf = self.spark.read.option(
+            "basePath", self.table_path
+        ).parquet(*paths)
+        if [(f.name, f.dataType) for f in gdf.schema] != [
+            (f.name, f.dataType) for f in df.schema
+        ]:
+            raise RuntimeError(
+                "appended files changed the table schema; partial "
+                "layouts are incompatible — run a full checkpoint"
+            )
+        return gdf
+
+    def _pin_batch(self, df: DataFrame) -> Dict[str, Any]:
+        """Record (or verify) the input snapshot + suite identity.
+
+        The pin carries the full data-file listing (the parquet
+        manifest stand-in) and a schema fingerprint; an incremental
+        run additionally records its base run and the exact file
+        delta it validated, so a resumed incremental run replays the
+        identical delta."""
+        entries = list_parquet_files(self.table_path)
         fp = fingerprint_parquet_dir(self.table_path)
         sh = _suite_hash(self.suite)
+        schema_fp = hashlib.sha256(
+            df.schema.json().encode()
+        ).hexdigest()[:16]
         pin_path = os.path.join(self.run_dir, "batch.json")
         if os.path.exists(pin_path):
             with open(pin_path) as f:
@@ -148,12 +218,83 @@ class CheckpointRunner:
         pinned = {
             "fingerprint": fp,
             "suite_hash": sh,
+            "schema_fp": schema_fp,
             "table_path": self.table_path,
             "kind": "parquet_listing",
+            "files": entries,
             "pinned_at": time.time(),
         }
+        if self.base_run_id is not None:
+            pinned["base_run_id"] = self.base_run_id
+            pinned["delta_files"] = self._compute_delta(
+                entries, sh, schema_fp
+            )
         _atomic_write_json(pin_path, pinned)
         return pinned
+
+    def _base_dir(self) -> str:
+        return os.path.join(self.state_dir, f"run={self.base_run_id}")
+
+    def _compute_delta(
+        self, entries: List[List[Any]], suite_hash: str,
+        schema_fp: str,
+    ) -> List[List[Any]]:
+        """Diff the current file listing against the base run's pinned
+        listing under the append-only contract (the parquet analogue of
+        an Iceberg incremental APPEND scan between two snapshots): every
+        base file must still exist byte-identical in size; the delta is
+        exactly the files the base never saw. Any rewrite, delete or
+        compaction voids the contract — fail loud and require a full
+        run, exactly like Iceberg refuses incremental reads across
+        replace/overwrite snapshots."""
+        base_pin_path = os.path.join(self._base_dir(), "batch.json")
+        if not os.path.exists(base_pin_path):
+            raise RuntimeError(
+                f"incremental base run {self.base_run_id!r} has no "
+                f"batch.json under {self.state_dir!r}"
+            )
+        with open(base_pin_path) as f:
+            base_pin = json.load(f)
+        if "files" not in base_pin:
+            raise RuntimeError(
+                f"base run {self.base_run_id!r} predates file-listing "
+                "pins; run one full checkpoint to establish a base"
+            )
+        if base_pin["suite_hash"] != suite_hash:
+            raise RuntimeError(
+                "incremental run requires the identical suite as its "
+                f"base: base {base_pin['suite_hash']} != "
+                f"current {suite_hash}"
+            )
+        if base_pin.get("schema_fp") != schema_fp:
+            # partial alias layouts (p0..pn) are a function of suite
+            # AND schema; a drifted schema silently misaligns them
+            raise RuntimeError(
+                "table schema differs from the base run's; partial "
+                "layouts are incompatible — run a full checkpoint"
+            )
+        if not os.path.exists(
+            os.path.join(self._base_dir(), "result.json")
+        ):
+            raise RuntimeError(
+                f"base run {self.base_run_id!r} did not complete "
+                "(no result.json); resume it before building on it"
+            )
+        current = {rel: size for rel, size in entries}
+        violations = [
+            rel
+            for rel, size in base_pin["files"]
+            if current.get(rel) != size
+        ]
+        if violations:
+            raise RuntimeError(
+                "append-only contract violated — base files rewritten "
+                f"or removed: {violations[:5]}"
+                f"{'...' if len(violations) > 5 else ''}; "
+                "run a full (non-incremental) checkpoint"
+            )
+        base_files = {rel for rel, _ in base_pin["files"]}
+        return [e for e in entries if e[0] not in base_files]
 
     def _groups(self, df: DataFrame) -> List[Any]:
         if self.group_col is None:
@@ -247,6 +388,7 @@ class CheckpointRunner:
         )
         out = {
             "group": group if not tag else f"{group}{tag}",
+            "tag": tag,
             "status": "done",
             "duration_s": round(time.time() - t0, 3),
             "finished_at": time.time(),
@@ -257,11 +399,56 @@ class CheckpointRunner:
         _atomic_write_json(self._group_path(group, tag), out)
         return out
 
+    def _inherited_state(self, tag: str) -> Dict[str, Any]:
+        """Materialize the base run's mergeable partials for one
+        domain tag into THIS run's state. Chained incremental runs
+        therefore flatten — run N+1 reads run N's single consolidated
+        file (which already folded N-1, N-2, ...), never walking the
+        chain. Committed atomically like any group file, so a resumed
+        incremental run reuses it without touching the base."""
+        path = os.path.join(self.groups_dir, f"__inherited{tag}.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        rows: List[Dict[str, Any]] = []
+        base_groups = os.path.join(self._base_dir(), "groups")
+        for fn in sorted(os.listdir(base_groups)):
+            if not fn.endswith(".json") or fn.endswith(".tmp"):
+                continue
+            with open(os.path.join(base_groups, fn)) as f:
+                gs = json.load(f)
+            if gs.get("tag") is None:
+                raise RuntimeError(
+                    f"base run {self.base_run_id!r} group state "
+                    "predates the incremental format; run one full "
+                    "checkpoint to establish a base"
+                )
+            if gs["tag"] != tag:
+                continue
+            rows.extend(gs["partition_rows"])
+        state = {
+            "group": "__inherited",
+            "tag": tag,
+            "status": "inherited",
+            "base_run_id": self.base_run_id,
+            "duration_s": 0.0,
+            "finished_at": time.time(),
+            "partition_rows": rows,
+        }
+        _atomic_write_json(path, state)
+        return state
+
     # -- the run --------------------------------------------------------------
 
     def run(self) -> ExpectationSuiteValidationResult:
-        pinned = self._pin_batch()
         df = self._df()
+        pinned = self._pin_batch(df)
+        # a resumed run's pin is authoritative (so resuming an
+        # incremental run without re-passing base_run_id still
+        # replays the pinned delta, and vice versa)
+        self.base_run_id = pinned.get("base_run_id")
+        incremental = self.base_run_id is not None
+        grid = self._grid_df(df, pinned)
         compiled, errors = self._compile(df)
 
         # row_condition domains, keyed exactly like the in-process
@@ -280,11 +467,15 @@ class CheckpointRunner:
         validator = SparkValidator(
             df, self.suite, result_format=self.result_format
         )
-        groups = self._groups(df)
+        # the group grid enumerates only what the partial pass will
+        # scan: the whole table normally, just the delta incrementally
+        # (groups seen only by the base are covered by its inherited
+        # partials — their state needs no recomputation)
+        groups = self._groups(grid)
         # partition count is identical for every group/domain (filters
         # preserve partitioning) — compute the RDD conversion ONCE per
         # run instead of once per group per domain
-        n_parts = df.rdd.getNumPartitions()
+        n_parts = grid.rdd.getNumPartitions()
         evrs: Dict[int, ExpectationValidationResult] = dict(errors)
         group_states: List[Dict[str, Any]] = []
         computed, skipped, failed_groups = 0, 0, 0
@@ -299,12 +490,17 @@ class CheckpointRunner:
                 ).hexdigest()[:8]
             )
             try:
-                ddf = (
-                    df.where(domain_condition(rc, parser)) if rc else df
+                cond = domain_condition(rc, parser) if rc else None
+                ddf = df.where(cond) if rc else df
+                d_grid = (
+                    (grid.where(cond) if rc else grid)
+                    if incremental
+                    else None
                 )
                 d_states, d_comp, d_skip = self._run_domain(
                     ddf, checks, tag, groups, validator, evrs,
-                    n_parts=n_parts,
+                    n_parts=n_parts, grid_df=d_grid,
+                    inherit=incremental,
                 )
             except Exception as exc:  # noqa: BLE001 - per-domain isolation
                 tb = traceback.format_exc()
@@ -320,18 +516,24 @@ class CheckpointRunner:
             skipped += d_skip
 
         ordered = [evrs[i] for i in sorted(evrs)]
+        meta = {
+            "run_id": self.run_id,
+            "batch": pinned,
+            "groups_total": len(groups) * len(domains),
+            "groups_computed": computed,
+            "groups_resumed": skipped,
+            "groups_failed": failed_groups,
+            "expectation_suite_name": self.suite.name,
+            "engine": "great_expectations_spark.checkpoint",
+        }
+        if incremental:
+            meta["incremental"] = {
+                "base_run_id": self.base_run_id,
+                "files_total": len(pinned.get("files") or []),
+                "files_delta": len(pinned.get("delta_files") or []),
+            }
         result = ExpectationSuiteValidationResult.from_results(
-            ordered,
-            meta={
-                "run_id": self.run_id,
-                "batch": pinned,
-                "groups_total": len(groups) * len(domains),
-                "groups_computed": computed,
-                "groups_resumed": skipped,
-                "groups_failed": failed_groups,
-                "expectation_suite_name": self.suite.name,
-                "engine": "great_expectations_spark.checkpoint",
-            },
+            ordered, meta=meta,
         )
         self._write_outputs(group_states, result)
         if self.actions:
@@ -351,12 +553,22 @@ class CheckpointRunner:
         validator: SparkValidator,
         evrs: Dict[int, ExpectationValidationResult],
         n_parts: Optional[int] = None,
+        grid_df: Optional[DataFrame] = None,
+        inherit: bool = False,
     ):
         """Checkpointed execution of one row_condition domain:
         per-group single-pass partials (resumable), then the domain's
         finalize — stats merge, leftover aggregates, the deferred
         (z-score) second pass, violation harvest for deferred checks,
-        and EVRs."""
+        and EVRs.
+
+        Incremental mode: ``grid_df`` (the appended files only) feeds
+        the per-group partial pass while ``df`` stays the FULL domain
+        slice — the merge prepends the base run's inherited partials,
+        so merged stats describe the whole table, and every
+        global-only finalize step (leftover exact aggregates, the
+        deferred z-score count, job checks) correctly scans the full
+        input with column pruning."""
         schema_checks, map_checks, agg_checks, job_checks = split_checks(
             checks
         )
@@ -379,6 +591,9 @@ class CheckpointRunner:
         # group loop — resume skips any group with a committed file
         group_states: List[Dict[str, Any]] = []
         computed, skipped = 0, 0
+        if inherit:
+            group_states.append(self._inherited_state(tag))
+        scan_df = grid_df if grid_df is not None else df
         for g in groups:
             gp = self._group_path(g, tag)
             if os.path.exists(gp):
@@ -388,7 +603,7 @@ class CheckpointRunner:
                 continue
             group_states.append(
                 self._run_group(
-                    df, g, partials, violation_exprs,
+                    scan_df, g, partials, violation_exprs,
                     merges=merges,
                     viol_caps={
                         f"v{i}": cap for i, cap in caps.items()

@@ -1,0 +1,234 @@
+"""Incremental checkpoint runs: validate only appended files, merge
+with the base run's persisted partials, and produce results identical
+to a fresh full run over the cumulative table.
+
+The parquet file-listing diff is the stand-in for an Iceberg
+incremental APPEND scan between two snapshots; any rewrite/removal of
+a base file voids the append-only contract and must fail loud (the
+Iceberg analogue: incremental reads refuse replace/overwrite
+snapshots)."""
+
+import json
+import os
+
+import pytest
+
+import great_expectations_spark as ges
+from great_expectations_spark.checkpoint import CheckpointRunner
+from great_expectations_spark.data.images import images_df
+
+
+def the_suite():
+    # spans every execution family the incremental merge must get
+    # right: additive map counts, mean/stddev Chan merges, a deferred
+    # z-score check (full-scan count at finalize), a row_condition
+    # domain (separate group grid + inherited partials per tag), a
+    # leftover exact distinct count, and a two-phase uniqueness job
+    return (
+        ges.suite("incr")
+        .expect("expect_column_values_to_not_be_null", column="caption",
+                mostly=0.5)
+        .expect("expect_column_mean_to_be_between", column="w",
+                min_value=1, max_value=60)
+        .expect("expect_column_stdev_to_be_between", column="h",
+                min_value=0, max_value=100)
+        .expect("expect_column_values_to_be_in_set", column="fmt",
+                value_set=["jpeg", "png", "webp"], mostly=0.5)
+        .expect("expect_column_value_z_scores_to_be_less_than",
+                column="w", threshold=4, double_sided=True, mostly=0.9)
+        .expect("expect_column_values_to_not_be_null", column="caption",
+                mostly=0.25,
+                row_condition='col("fmt")=="jpeg"',
+                condition_parser="great_expectations")
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="fmt", min_value=1, max_value=10)
+        .expect("expect_column_values_to_be_unique", column="image_id",
+                mostly=0.5)
+    )
+
+
+def write_base(spark, tmp_path, n=1500):
+    path = str(tmp_path / "images")
+    images_df(spark, n_rows=n, seed=1).write.mode(
+        "overwrite"
+    ).partitionBy("fmt").parquet(path)
+    return path
+
+
+def append_batch(spark, path, n=800, seed=7):
+    images_df(spark, n_rows=n, seed=seed).write.mode(
+        "append"
+    ).partitionBy("fmt").parquet(path)
+
+
+def assert_same_results(expected, got):
+    assert expected.success == got.success
+    assert len(expected.results) == len(got.results)
+    for e, g in zip(expected.results, got.results):
+        typ = e.expectation_config.expectation_type
+        assert e.success == g.success, typ
+        er, gr = e.result or {}, g.result or {}
+        for k in ("element_count", "unexpected_count"):
+            if k in er:
+                assert er[k] == gr[k], (typ, k)
+        ov = er.get("observed_value")
+        if isinstance(ov, float):
+            assert gr["observed_value"] == pytest.approx(
+                ov, rel=1e-9
+            ), typ
+        elif "observed_value" in er:
+            assert gr["observed_value"] == ov, typ
+
+
+def test_incremental_matches_full_run(spark, tmp_path):
+    path = write_base(spark, tmp_path)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+
+    append_batch(spark, path)
+    got = CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt",
+        base_run_id="full1",
+    ).run()
+    expected = CheckpointRunner(
+        spark, path, the_suite(), state, "fullref", group_col="fmt"
+    ).run()
+
+    assert_same_results(expected, got)
+    inc = got.meta["incremental"]
+    assert inc["base_run_id"] == "full1"
+    assert 0 < inc["files_delta"] < inc["files_total"]
+
+    # the partial grid scanned ONLY the appended files: the pin's
+    # delta listing excludes every base file, and the base partials
+    # arrived via the consolidated inherited state
+    with open(os.path.join(state, "run=incr1", "batch.json")) as f:
+        pin = json.load(f)
+    with open(os.path.join(state, "run=full1", "batch.json")) as f:
+        base_pin = json.load(f)
+    base_files = {rel for rel, _ in base_pin["files"]}
+    assert all(rel not in base_files for rel, _ in pin["delta_files"])
+    inherited = os.path.join(
+        state, "run=incr1", "groups", "__inherited.json"
+    )
+    assert os.path.exists(inherited)
+    with open(inherited) as f:
+        st = json.load(f)
+    assert st["status"] == "inherited" and st["partition_rows"]
+
+
+def test_incremental_resume_replays_pinned_delta(spark, tmp_path):
+    path = write_base(spark, tmp_path, n=600)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+    append_batch(spark, path, n=300)
+    first = CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt",
+        base_run_id="full1",
+    ).run()
+    # resume without re-passing base_run_id: the pin is authoritative
+    resumed = CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt"
+    ).run()
+    assert resumed.meta["groups_computed"] == 0
+    assert resumed.meta["groups_resumed"] == first.meta["groups_computed"]
+    assert resumed.meta["incremental"]["base_run_id"] == "full1"
+    assert_same_results(first, resumed)
+
+
+def test_chained_incremental_flattens_base_state(spark, tmp_path):
+    path = write_base(spark, tmp_path, n=600)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+    append_batch(spark, path, n=300, seed=7)
+    CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt",
+        base_run_id="full1",
+    ).run()
+    append_batch(spark, path, n=300, seed=13)
+    got = CheckpointRunner(
+        spark, path, the_suite(), state, "incr2", group_col="fmt",
+        base_run_id="incr1",
+    ).run()
+    expected = CheckpointRunner(
+        spark, path, the_suite(), state, "fullref", group_col="fmt"
+    ).run()
+    assert_same_results(expected, got)
+    # incr2 inherited from incr1's consolidated state (which already
+    # folded full1) — O(1) chain depth, no walk back to full1
+    with open(
+        os.path.join(state, "run=incr2", "groups", "__inherited.json")
+    ) as f:
+        st = json.load(f)
+    assert st["base_run_id"] == "incr1"
+
+
+def test_empty_delta_reproduces_base(spark, tmp_path):
+    path = write_base(spark, tmp_path, n=600)
+    state = str(tmp_path / "state")
+    base = CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+    got = CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt",
+        base_run_id="full1",
+    ).run()
+    assert got.meta["incremental"]["files_delta"] == 0
+    assert got.meta["groups_computed"] == 0
+    assert_same_results(base, got)
+
+
+def test_append_only_contract_violation_fails_loud(spark, tmp_path):
+    path = write_base(spark, tmp_path, n=600)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+    # rewrite (compaction/overwrite) — same schema, different files
+    images_df(spark, n_rows=500, seed=2).write.mode(
+        "overwrite"
+    ).partitionBy("fmt").parquet(path)
+    with pytest.raises(RuntimeError, match="append-only"):
+        CheckpointRunner(
+            spark, path, the_suite(), state, "incr1", group_col="fmt",
+            base_run_id="full1",
+        ).run()
+
+
+def test_changed_suite_rejected(spark, tmp_path):
+    path = write_base(spark, tmp_path, n=600)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+    append_batch(spark, path, n=200)
+    other = ges.suite("other").expect(
+        "expect_column_values_to_not_be_null", column="caption"
+    )
+    with pytest.raises(RuntimeError, match="identical suite"):
+        CheckpointRunner(
+            spark, path, other, state, "incr1", group_col="fmt",
+            base_run_id="full1",
+        ).run()
+
+
+def test_incomplete_base_rejected(spark, tmp_path):
+    path = write_base(spark, tmp_path, n=600)
+    state = str(tmp_path / "state")
+    runner = CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    )
+    runner.run()
+    os.remove(os.path.join(state, "run=full1", "result.json"))
+    append_batch(spark, path, n=200)
+    with pytest.raises(RuntimeError, match="did not complete"):
+        CheckpointRunner(
+            spark, path, the_suite(), state, "incr1", group_col="fmt",
+            base_run_id="full1",
+        ).run()
