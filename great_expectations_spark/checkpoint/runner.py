@@ -52,6 +52,7 @@ runs stay O(1) deep.
 
 from __future__ import annotations
 
+import base64
 import hashlib
 import json
 import os
@@ -109,6 +110,16 @@ def _suite_hash(suite: ExpectationSuite) -> str:
     return hashlib.sha256(
         json.dumps(suite.to_json_dict(), sort_keys=True, default=str).encode()
     ).hexdigest()[:16]
+
+
+def _jsonable(v: Any) -> Any:
+    """Round-trippable JSON boxing for partial values. Binary partials
+    (Datasketches HLL sketches) are base64-boxed; merge_stat_rows
+    unboxes either form, so in-process rows (raw bytes) and
+    checkpoint-state rows (boxed) merge identically."""
+    if isinstance(v, (bytes, bytearray)):
+        return {"__b64__": base64.b64encode(bytes(v)).decode("ascii")}
+    return v
 
 
 def _atomic_write_json(path: str, obj: Any) -> None:
@@ -393,7 +404,7 @@ class CheckpointRunner:
             "duration_s": round(time.time() - t0, 3),
             "finished_at": time.time(),
             "partition_rows": [
-                {k: r[k] for k in r.asDict()} for r in rows
+                {k: _jsonable(r[k]) for k in r.asDict()} for r in rows
             ],
         }
         _atomic_write_json(self._group_path(group, tag), out)

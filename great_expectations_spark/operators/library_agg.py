@@ -68,19 +68,45 @@ compile_stdev_between = _simple_agg_between(
 )
 
 
-def _distinct_count_need(column: str, cfg):
+def _distinct_count_need(column: str, cfg, schema=None):
     """(stat key, distinct-count expression) honoring the
     ``approximate``/``rsd`` kwargs. Exact countDistinct expands every
     distinct value through the shuffle — at 10^12 rows on a
     high-cardinality column that exchange IS the job. With
-    approximate=True the stat is approx_count_distinct (HyperLogLog++,
-    fixed-size sketch partials, default rsd 0.05 — Spark's default),
-    which keeps the whole suite map-side-combinable. No reference
-    counterpart (its Spark engine is exact-only,
-    column_distinct_values.py:126-137); opt-in, default exact."""
+    approximate=True the stat is a fixed-size HyperLogLog sketch
+    (default rsd 0.05 — Spark's approx_count_distinct default), which
+    keeps the whole suite map-side-combinable. For the types Spark's
+    hll_sketch_agg supports (int/bigint/string/binary) the key carries
+    a ``~hll`` marker and the single-pass planner turns it into a
+    MERGEABLE Datasketches sketch partial — fused into the one
+    per-partition pass (no extra scan) and union-mergeable across
+    second-level buckets AND incremental checkpoint runs. Other types
+    (and the classic strategy) use approx_count_distinct (HLL++) as a
+    leftover aggregate. No reference counterpart (its Spark engine is
+    exact-only, column_distinct_values.py:126-137); opt-in, default
+    exact."""
     c = F.col(column)
     if cfg.kwargs.get("approximate"):
         rsd = float(cfg.kwargs.get("rsd", 0.05))
+        dt = None
+        if schema is not None:
+            try:
+                dt = schema[column].dataType
+            except (KeyError, TypeError):
+                dt = None
+        if isinstance(
+            dt,
+            (
+                sparktypes.IntegerType,
+                sparktypes.LongType,
+                sparktypes.StringType,
+                sparktypes.BinaryType,
+            ),
+        ):
+            return (
+                f"column.distinct_values.count~hll{rsd}:{column}",
+                F.approx_count_distinct(c, rsd),
+            )
         return (
             f"column.distinct_values.count~approx{rsd}:{column}",
             F.approx_count_distinct(c, rsd),
@@ -92,7 +118,7 @@ def compile_unique_value_count_between(index, cfg, schema):
     """Exact distinct count (column_distinct_values.py:126-137);
     approximate=True switches to a HyperLogLog++ sketch."""
     column = cfg.kwargs["column"]
-    key, expr = _distinct_count_need(column, cfg)
+    key, expr = _distinct_count_need(column, cfg, schema)
     return AggCheck(
         index=index,
         config=cfg,
@@ -105,7 +131,7 @@ def compile_proportion_unique_between(index, cfg, schema):
     """distinct/nonnull (column_proportion_of_unique_values.py:41-66);
     approximate=True switches the numerator to a HLL++ sketch."""
     column = cfg.kwargs["column"]
-    dkey, dexpr = _distinct_count_need(column, cfg)
+    dkey, dexpr = _distinct_count_need(column, cfg, schema)
     nkey = f"nonnull:{column}"
 
     def finalize(stats):

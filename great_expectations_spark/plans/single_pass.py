@@ -54,6 +54,7 @@ Stat-key contract (planner-internal names):
 
 from __future__ import annotations
 
+import base64
 import math
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -71,6 +72,32 @@ class _Merge:
 
 def _col_of(key: str) -> str:
     return key.split(":", 1)[1]
+
+
+def _lgk_for_rsd(rsd: float) -> int:
+    """lgConfigK giving a Datasketches-HLL relative standard error of
+    about the requested rsd (rse ~ 1.04 / sqrt(2^lgK) — the same
+    constant HLL++ quotes for approx_count_distinct)."""
+    return max(4, min(21, math.ceil(2 * math.log2(1.04 / rsd))))
+
+
+def _hll_estimate(sketches: List[bytes]) -> int:
+    """Union + estimate collected partition sketches as one tiny local
+    Spark job (len(sketches) rows — at most the second-level fan-in),
+    so the driver needs no datasketches Python dependency."""
+    if not sketches:
+        return 0
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for HLL merge")
+    row = (
+        spark.createDataFrame([(s,) for s in sketches], "s binary")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("s")).alias("e"))
+        .first()
+    )
+    return int(row["e"] or 0)
 
 
 def plan_stat_partials(
@@ -109,6 +136,33 @@ def plan_stat_partials(
                 [
                     add(F.sum(c)),
                     add(F.sum(F.when(c.isNotNull(), 1).otherwise(0))),
+                ],
+            )
+        elif key.startswith("column.distinct_values.count~hll"):
+            # mergeable approximate distinct: one fixed-size
+            # Datasketches HLL sketch (binary) per partition,
+            # union-merged at every level — second-level buckets, the
+            # driver, and across incremental checkpoint runs — so the
+            # stat needs NO extra scan (exact countDistinct and
+            # approx_count_distinct are leftover full-scan aggregates
+            # here). The classic strategy keeps approx_count_distinct
+            # (HLL++); both are exact at small cardinality and agree
+            # within rsd elsewhere. Only emitted for the types
+            # hll_sketch_agg supports (library_agg._distinct_count_need
+            # gates on the schema).
+            rsd = float(
+                key[len("column.distinct_values.count~hll"):].split(
+                    ":", 1
+                )[0]
+            )
+            merges[key] = _Merge(
+                "hll",
+                [
+                    add(
+                        F.hll_sketch_agg(
+                            F.col(_col_of(key)), _lgk_for_rsd(rsd)
+                        )
+                    )
                 ],
             )
         elif key.startswith("column.standard_deviation:"):
@@ -154,6 +208,17 @@ def merge_stat_rows(
             s = sum(v[0] for v in vals if v[0] is not None)
             n = sum(v[1] or 0 for v in vals)
             stats[key] = (s / n) if n else None
+        elif m.kind == "hll":
+            sketches = []
+            for v in vals:
+                b = v[0]
+                # checkpoint state JSON carries sketches base64-boxed
+                # (runner._jsonable); in-process rows carry raw bytes
+                if isinstance(b, dict) and "__b64__" in b:
+                    b = base64.b64decode(b["__b64__"])
+                if b is not None:
+                    sketches.append(bytes(b))
+            stats[key] = _hll_estimate(sketches)
         elif m.kind == "stddev":
             # Chan et al. pairwise merge of (n, mean, M2) partials —
             # numerically stable across any partition count
@@ -292,6 +357,12 @@ def _second_level_exprs(
             s_a, n_a = m.aliases
             exprs.append(F.sum(F.col(s_a)).alias(s_a))
             exprs.append(F.sum(F.col(n_a)).alias(n_a))
+        elif m.kind == "hll":
+            # sketch-union is associative: bucket partial = union of
+            # the bucket's partition sketches, same binary shape
+            exprs.append(
+                F.hll_union_agg(F.col(m.aliases[0])).alias(m.aliases[0])
+            )
         elif m.kind == "stddev":
             n_a, mean_a, m2_a = m.aliases
             triples = F.array_sort(

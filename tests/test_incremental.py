@@ -42,6 +42,13 @@ def the_suite():
                 condition_parser="great_expectations")
         .expect("expect_column_unique_value_count_to_be_between",
                 column="fmt", min_value=1, max_value=10)
+        # approximate=True -> mergeable Datasketches HLL partials:
+        # base sketches union with delta sketches (order-insensitive,
+        # so incremental == full exactly), base64 round-tripped
+        # through the JSON state files
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="image_id", min_value=1, max_value=10**9,
+                approximate=True)
         .expect("expect_column_values_to_be_unique", column="image_id",
                 mostly=0.5)
     )

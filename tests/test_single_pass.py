@@ -230,3 +230,68 @@ def test_second_level_merge_empty_and_allnull(spark, monkeypatch):
     s = suite_rich()
     classic, single = run_both(df, s)
     assert_equivalent(classic, single)
+
+
+def test_hll_mergeable_approx_distinct(spark):
+    """approximate=True on an hll_sketch_agg-supported type rides the
+    single pass as a mergeable Datasketches sketch partial (no
+    leftover full-scan aggregate) and lands within a few rsd of the
+    exact count; an unsupported type (double) falls back to the
+    leftover approx_count_distinct path with the same contract."""
+    df = images_df(spark, n_rows=5000, seed=11).withColumn(
+        "w_double", F.col("w").cast("double") + F.rand(7)
+    )
+    s = (
+        ges.suite("hll")
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="image_id", min_value=1, max_value=10**9,
+                approximate=True, rsd=0.02)
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="w_double", min_value=1, max_value=10**9,
+                approximate=True, rsd=0.02)
+    )
+    res = ges.validate(df, s, strategy="single_pass")
+    exact_id = df.select("image_id").distinct().count()
+    exact_wd = df.select("w_double").distinct().count()
+    got_id = res.results[0].result["observed_value"]
+    got_wd = res.results[1].result["observed_value"]
+    assert abs(got_id - exact_id) <= 4 * 0.02 * exact_id
+    assert abs(got_wd - exact_wd) <= 4 * 0.02 * exact_wd
+
+    # plan check: the string column's stat is a mergeable partial
+    # (hll kind); the double column's stat stays leftover
+    from great_expectations_spark.plans.single_pass import (
+        plan_stat_partials,
+    )
+
+    partials, merges, leftover = plan_stat_partials({
+        "column.distinct_values.count~hll0.02:image_id":
+            F.approx_count_distinct("image_id", 0.02),
+        "column.distinct_values.count~approx0.02:w_double":
+            F.approx_count_distinct("w_double", 0.02),
+    })
+    assert any(m.kind == "hll" for m in merges.values())
+    assert list(leftover) == [
+        "column.distinct_values.count~approx0.02:w_double"
+    ]
+
+
+def test_hll_second_level_union_identical(spark, monkeypatch):
+    """Sketch union is associative and order-insensitive: forcing the
+    two-level bucket merge (fan_in < #partitions) must produce the
+    IDENTICAL estimate to the direct driver merge."""
+    from great_expectations_spark.plans import single_pass as sp
+
+    df = images_df(spark, n_rows=4000, seed=3).repartition(16)
+    s = ges.suite("hll2").expect(
+        "expect_column_unique_value_count_to_be_between",
+        column="image_id", min_value=1, max_value=10**9,
+        approximate=True,
+    )
+    direct = ges.validate(df, s, strategy="single_pass")
+    monkeypatch.setattr(sp, "SECOND_LEVEL_FAN_IN", 3)
+    bucketed = ges.validate(df, s, strategy="single_pass")
+    assert (
+        bucketed.results[0].result["observed_value"]
+        == direct.results[0].result["observed_value"]
+    )
