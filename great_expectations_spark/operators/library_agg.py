@@ -16,6 +16,7 @@ value_counts) run their own jobs through the shared MetricCache.
 from __future__ import annotations
 
 import datetime
+import json
 from typing import Any, Dict, Optional
 
 from pyspark.sql import functions as F
@@ -177,9 +178,74 @@ def compile_table_row_count_equal(index, cfg, schema):
 
 # --- value-metric JobChecks ---------------------------------------------------
 
+_KLL_NUMERIC = (
+    sparktypes.ByteType,
+    sparktypes.ShortType,
+    sparktypes.IntegerType,
+    sparktypes.LongType,
+    sparktypes.FloatType,
+    sparktypes.DoubleType,
+    sparktypes.DecimalType,
+)
+
+
+def _kll_quantiles_need(column, quantiles, cfg, schema):
+    """(stat key, quantiles expression) for ``approximate=True``
+    quantile/median expectations on numeric columns, or None when the
+    column type can't feed kll_sketch_agg_double (the caller falls
+    back to the exact approxQuantile JobCheck). The stat is a
+    Datasketches KLL sketch — fixed size (~3 KB at the default
+    k=200, normalized rank error ~1.65%; pass sketch_k to trade
+    memory for accuracy), so the single-pass planner fuses it into
+    the one per-partition pass and it merge-unions across
+    second-level buckets AND incremental checkpoint runs. The exact
+    path is a separate full-scan approxQuantile job each run. No
+    reference counterpart (its Spark metric is exact-only,
+    column_quantile_values.py:177-209); opt-in, default exact."""
+    if schema is None:
+        return None
+    try:
+        dt = schema[column].dataType
+    except (KeyError, TypeError):
+        return None
+    if not isinstance(dt, _KLL_NUMERIC):
+        return None
+    k = int(cfg.kwargs.get("sketch_k", 200))
+    qs = [float(q) for q in quantiles]
+    key = f"column.quantiles~kll{k}:{column}:{json.dumps(qs)}"
+    sk = F.kll_sketch_agg_double(F.col(column).cast("double"), F.lit(k))
+    # guard: extracting quantiles from an empty (all-null) sketch
+    # throws KLL_INVALID_INPUT_SKETCH_BUFFER; when() short-circuits it
+    expr = F.when(
+        F.kll_sketch_get_n_double(sk) > 0,
+        F.kll_sketch_get_quantile_double(
+            sk, F.array(*[F.lit(q) for q in qs])
+        ),
+    )
+    return key, expr
+
+
 def compile_median_between(index, cfg, schema):
-    """Exact median via the ε-quantile trick (column_median.py:90-121)."""
+    """Exact median via the ε-quantile trick (column_median.py:90-121);
+    approximate=True switches to a mergeable KLL quantile sketch fused
+    into the single pass."""
     column = cfg.kwargs["column"]
+
+    if cfg.kwargs.get("approximate"):
+        need = _kll_quantiles_need(column, [0.5], cfg, schema)
+        if need is not None:
+            key, expr = need
+
+            def finalize(stats):
+                vals = stats.get(key)
+                return _metric_between_outcome(
+                    vals[0] if vals else None, cfg
+                )
+
+            return AggCheck(
+                index=index, config=cfg, needs={key: expr},
+                finalize=finalize,
+            )
 
     def run(df, stats, cache: MetricCache):
         return _metric_between_outcome(cache.median(column), cfg)
@@ -202,16 +268,33 @@ def compile_quantile_values_between(index, cfg, schema):
     allow_rel_err = cfg.kwargs.get("allow_relative_error", False)
     rel_err = float(allow_rel_err) if allow_rel_err else 0.0
 
-    def run(df, stats, cache: MetricCache):
-        values = cache.quantiles(column, quantiles, rel_err)
+    def outcome(values):
         details = []
         for v, (lo, hi) in zip(values, value_ranges):
-            ok = (lo is None or v >= lo) and (hi is None or v <= hi)
+            ok = (
+                v is not None
+                and (lo is None or v >= lo)
+                and (hi is None or v <= hi)
+            )
             details.append(ok)
         return all(details), {
             "observed_value": {"quantiles": quantiles, "values": values},
             "details": {"success_details": details},
         }
+
+    if cfg.kwargs.get("approximate"):
+        need = _kll_quantiles_need(column, quantiles, cfg, schema)
+        if need is not None:
+            key, expr = need
+            return AggCheck(
+                index=index, config=cfg, needs={key: expr},
+                finalize=lambda stats: outcome(
+                    stats.get(key) or [None] * len(quantiles)
+                ),
+            )
+
+    def run(df, stats, cache: MetricCache):
+        return outcome(cache.quantiles(column, quantiles, rel_err))
 
     return JobCheck(index=index, config=cfg, run=run)
 

