@@ -117,6 +117,111 @@ def compile_foreign_keys_exist(index, cfg, schema) -> JobCheck:
     )
 
 
+def compile_distinct_overlap_between(index, cfg, schema) -> JobCheck:
+    """expect_column_distinct_overlap_with_reference_to_be_between —
+    approximate distinct-set overlap between the batch column and a
+    reference table's column via Datasketches theta sketches: one
+    column-pruned scan per side builds a fixed-size sketch
+    (map-side-combinable, no distinct-value exchange, no join), then a
+    tiny two-row job takes union/intersection estimates. The
+    train/test contamination check at 10^12 rows — an exact
+    overlap there is a distinct+join whose shuffle IS the job.
+    Exact below ~2^lg_k retained entries (default lg_k 12 -> 4096),
+    relative error ~1/sqrt(2^lg_k) above; intersection error grows as
+    overlap shrinks — this is a gate, not an audit. Ours; the
+    reference has no cross-table expectation (closest:
+    QueryExpectation SQL, expectation.py:2250-2352).
+
+    kwargs: column, reference_table_name, reference_column (default =
+    column), metric in {"overlap_count", "jaccard", "containment"}
+    (containment = overlap / batch-side distinct — the fraction of
+    this batch's values also present in the reference), lg_k,
+    min_value/max_value/strict_min/strict_max.
+    """
+    from ..core.result import validate_metric_value_between
+
+    column = cfg.kwargs["column"]
+    ref_table = cfg.kwargs["reference_table_name"]
+    ref_column = cfg.kwargs.get("reference_column") or column
+    metric = cfg.kwargs.get("metric", "overlap_count")
+    if metric not in ("overlap_count", "jaccard", "containment"):
+        raise ValueError(f"unknown overlap metric {metric!r}")
+    lg_k = int(cfg.kwargs.get("lg_k", 12))
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        aux = cache.aux_tables
+        if ref_table not in aux:
+            raise ValueError(
+                f"reference table {ref_table!r} not provided to the validator"
+            )
+
+        def sketches():
+            a = df.agg(
+                F.theta_sketch_agg(F.col(column), lg_k).alias("s")
+            ).first()["s"]
+            b = aux[ref_table].agg(
+                F.theta_sketch_agg(F.col(ref_column), lg_k).alias("s")
+            ).first()["s"]
+            spark = df.sparkSession
+            # one partition: theta_intersection_agg throws on empty
+            # partitions (an empty intersection accumulator would be
+            # the infinite set)
+            two = spark.createDataFrame(
+                [(0, a), (1, b)], "side int, s binary"
+            ).coalesce(1)
+            return two.agg(
+                F.theta_sketch_estimate(
+                    F.theta_union_agg("s", lg_k)
+                ).alias("union"),
+                F.theta_sketch_estimate(
+                    F.theta_intersection_agg("s")
+                ).alias("overlap"),
+                F.theta_sketch_estimate(
+                    F.theta_union_agg(
+                        F.when(F.col("side") == 0, F.col("s")), lg_k
+                    )
+                ).alias("batch"),
+                F.theta_sketch_estimate(
+                    F.theta_union_agg(
+                        F.when(F.col("side") == 1, F.col("s")), lg_k
+                    )
+                ).alias("reference"),
+            ).first().asDict()
+
+        est = cache._get(
+            f"theta_overlap:{column}:{ref_table}:{ref_column}:{lg_k}",
+            sketches,
+        )
+        if metric == "overlap_count":
+            value = est["overlap"]
+        elif metric == "jaccard":
+            value = (
+                est["overlap"] / est["union"] if est["union"] else None
+            )
+        else:  # containment
+            value = (
+                est["overlap"] / est["batch"] if est["batch"] else None
+            )
+        out = validate_metric_value_between(
+            value,
+            min_value=cfg.kwargs.get("min_value"),
+            max_value=cfg.kwargs.get("max_value"),
+            strict_min=bool(cfg.kwargs.get("strict_min", False)),
+            strict_max=bool(cfg.kwargs.get("strict_max", False)),
+        )
+        out["result"]["details"] = {
+            "overlap_count": est["overlap"],
+            "union_count": est["union"],
+            "batch_distinct": est["batch"],
+            "reference_distinct": est["reference"],
+        }
+        return out["success"], out["result"]
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
 REFERENTIAL_COMPILERS = {
     "expect_foreign_keys_to_exist": compile_foreign_keys_exist,
+    "expect_column_distinct_overlap_with_reference_to_be_between":
+        compile_distinct_overlap_between,
 }

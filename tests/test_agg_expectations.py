@@ -356,3 +356,46 @@ def test_metric_cache_cardinality_guard(spark):
     c2 = MetricCache(small)
     c2.max_collect_values = 1000
     assert c2.distinct_set("v") == {"x"}
+
+
+def test_distinct_overlap_with_reference(spark):
+    """Theta-sketch overlap: exact in exact mode (cardinality < 2^lg_k),
+    so small-set results equal the true intersection; jaccard and
+    containment derive from the same four estimates."""
+    a = spark.createDataFrame(
+        [(v,) for v in ["a", "b", "c", "d", "b"]], "id string"
+    )
+    b = spark.createDataFrame(
+        [(v,) for v in ["c", "d", "e", "d"]], "id string"
+    )
+    s = (
+        ges.suite("ovl")
+        .expect("expect_column_distinct_overlap_with_reference_to_be_between",
+                column="id", reference_table_name="ref",
+                min_value=2, max_value=2)
+        .expect("expect_column_distinct_overlap_with_reference_to_be_between",
+                column="id", reference_table_name="ref",
+                metric="jaccard", min_value=0.39, max_value=0.41)
+        .expect("expect_column_distinct_overlap_with_reference_to_be_between",
+                column="id", reference_table_name="ref",
+                metric="containment", min_value=0.49, max_value=0.51)
+    )
+    res = ges.validate(a, s, aux_tables={"ref": b})
+    assert res.success, [
+        (r.expectation_config.kwargs.get("metric"), r.result)
+        for r in res.results
+    ]
+    d = res.results[0].result["details"]
+    assert d == {"overlap_count": 2, "union_count": 5,
+                 "batch_distinct": 4, "reference_distinct": 3}
+
+    # estimation mode: two overlapping 50k ranges, default lg_k=12
+    big_a = spark.range(0, 50000).selectExpr("cast(id as string) id")
+    big_b = spark.range(25000, 75000).selectExpr("cast(id as string) id")
+    s2 = ges.suite("ovl2").expect(
+        "expect_column_distinct_overlap_with_reference_to_be_between",
+        column="id", reference_table_name="ref",
+        min_value=20000, max_value=30000,
+    )
+    r2 = ges.validate(big_a, s2, aux_tables={"ref": big_b})
+    assert r2.success, r2.results[0].result
