@@ -136,3 +136,61 @@ def start_windowed_drift_monitor(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def windowed_distinct_stats(
+    stream_df: DataFrame,
+    column: str,
+    ts_col: str = "ts",
+    window_len: str = "10 minutes",
+    watermark: str = "5 minutes",
+    slide: Optional[str] = None,
+    rsd: float = 0.05,
+    min_distinct: Optional[int] = None,
+    min_distinct_ratio: Optional[float] = None,
+) -> DataFrame:
+    """Per-event-time-window approximate distinct cardinality of
+    ``column`` — the upstream-failure signal PSI can't see: a stuck
+    producer replaying one ID keeps the VALUE distribution of every
+    other column plausible while the key cardinality collapses.
+
+    Distinct is approx_count_distinct (HyperLogLog++, fixed-size
+    partials) so the streaming state per open window is O(sketch),
+    not O(distinct values) — an exact streaming countDistinct would
+    hold every distinct key of every open window in the state store.
+    Output: window_start, window_end, n, distinct_est,
+    distinct_ratio, collapsed (true when distinct_est < min_distinct
+    or distinct_ratio < min_distinct_ratio; false when neither bound
+    is given). Append-mode sinks emit each window once the watermark
+    passes its end; same operator shape as windowed_psi_drift, so
+    state is evicted with closed windows.
+    """
+    w = F.window(F.col(ts_col), window_len, slide or window_len)
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(column, rsd).alias("distinct_est"),
+        )
+    )
+    ratio = F.col("distinct_est") / F.greatest(
+        F.col("n"), F.lit(1)
+    )
+    collapsed = F.lit(False)
+    if min_distinct is not None:
+        collapsed = collapsed | (
+            F.col("distinct_est") < F.lit(int(min_distinct))
+        )
+    if min_distinct_ratio is not None:
+        collapsed = collapsed | (
+            ratio < F.lit(float(min_distinct_ratio))
+        )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n"),
+        F.col("distinct_est"),
+        F.round(ratio, 6).alias("distinct_ratio"),
+        collapsed.alias("collapsed"),
+    )

@@ -2770,6 +2770,50 @@ def split_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_cardinality_by_hour",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+           count(*) AS n,
+           count(DISTINCT user_id) AS distinct_users,
+           round(CAST(count(DISTINCT user_id) AS DOUBLE) / count(*), 6)
+             AS distinct_ratio
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_cardinality_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour key-cardinality stats — the batch twin of the
+    streaming cardinality-collapse monitor
+    (streaming/windowed_drift.windowed_distinct_stats): a stuck
+    upstream replaying one ID shows as a distinct_ratio crash in its
+    hour while value distributions stay plausible. Exact distinct
+    here (oracle-comparable); the streaming monitor uses HLL++ so
+    open-window state stays O(sketch) instead of O(distinct keys).
+    One shuffle on the hour bucket; count+distinct fuse into a single
+    aggregate (Spark plans distinct-agg expansion internally)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_format(
+                F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00"
+            ).alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("user_id").alias("distinct_users"),
+        )
+        .select(
+            "hour",
+            "n",
+            "distinct_users",
+            F.round(
+                F.col("distinct_users").cast("double") / F.col("n"), 6
+            ).alias("distinct_ratio"),
+        )
+    )
+
+
+@register(
     "events_hourly_rollup",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,

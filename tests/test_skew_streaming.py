@@ -270,3 +270,87 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert len(got) == 30
     texts = sorted(r.text.lower() for r in got)
     assert texts == sorted(f"document body number {i}" for i in range(30))
+
+
+def test_windowed_distinct_collapse_stream(spark, tmp_path):
+    """Windowed approximate-distinct monitor: a window whose key
+    cardinality collapses (stuck producer replaying 3 IDs) is
+    flagged; a healthy window is not; estimates land within HLL++
+    error of the exact per-window distinct counts."""
+    from great_expectations_spark.streaming.windowed_drift import (
+        windowed_distinct_stats,
+    )
+
+    src = str(tmp_path / "dsrc")
+    os.makedirs(src, exist_ok=True)
+
+    def rows(base_ts, ids, seed):
+        import random
+
+        rnd = random.Random(seed)
+        return [
+            (
+                datetime.datetime.fromtimestamp(
+                    base_ts + rnd.uniform(0, 500),
+                    tz=datetime.timezone.utc,
+                ),
+                str(rnd.choice(ids)),
+            )
+            for _ in range(400)
+        ]
+
+    t0 = 1_700_000_400
+    schema = "ts timestamp, key string"
+    healthy = [f"id{i}" for i in range(1000)]
+    spark.createDataFrame(rows(t0, healthy, 1), schema).write.mode(
+        "overwrite"
+    ).parquet(src + "/f1.parquet")
+    spark.createDataFrame(
+        rows(t0 + 600, ["a", "b", "c"], 2), schema
+    ).write.mode("overwrite").parquet(src + "/f2.parquet")
+    # sentinel advances the watermark past window 2's end
+    # (t0+1200 + 5 min watermark => sentinel at t0+1600)
+    spark.createDataFrame(
+        [
+            (
+                datetime.datetime.fromtimestamp(
+                    t0 + 1600, tz=datetime.timezone.utc
+                ),
+                "z",
+            )
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src + "/f3.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    out = windowed_distinct_stats(
+        stream, "key", window_len="10 minutes", watermark="5 minutes",
+        rsd=0.02, min_distinct_ratio=0.05,
+    )
+    res_path = str(tmp_path / "dres")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", res_path)
+        .option("checkpointLocation", str(tmp_path / "dchk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].timestamp(): r
+        for r in spark.read.parquet(res_path).collect()
+    }
+    assert t0 in got and t0 + 600 in got
+    w1, w2 = got[t0], got[t0 + 600]
+    assert not w1["collapsed"] and w2["collapsed"]
+    # batch parity within HLL++ rsd
+    batch = spark.read.parquet(src + "/f1.parquet")
+    exact1 = batch.select("key").distinct().count()
+    assert abs(w1["distinct_est"] - exact1) <= 4 * 0.02 * exact1
+    assert w2["distinct_est"] == 3
+    assert w2["distinct_ratio"] < 0.05
