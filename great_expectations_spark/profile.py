@@ -47,13 +47,28 @@ def profile_table(
     n_bins: int = 10,
     quantile_rel_err: float = 0.001,
     head_rows: int = 5,
+    approximate: bool = False,
+    sketch_k: int = 200,
 ) -> Dict[str, Any]:
     """Profile a DataFrame into a baseline dict (JSON-serializable).
     Includes a `head` sample (table.head, ref table_head.py:143-157)
-    for the docs/preview flow; binary cells are elided to lengths."""
+    for the docs/preview flow; binary cells are elided to lengths.
+
+    ``approximate=True`` collapses numeric profiling to ONE scan: each
+    numeric column adds a Datasketches KLL sketch to the fused pass-1
+    agg; bin EDGES come from the sketch's quantiles and bin WEIGHTS
+    from its rank function — so passes 2 (approxQuantile) and 3 (the
+    histogram-weight agg) never touch the table. At 100 TB that's the
+    difference between one and three full scans for a
+    baseline-then-drift workflow; accuracy is the sketch's normalized
+    rank error (~1.65% at the default k=200 — plenty for PSI/KS
+    baselines, which smooth by eps anyway). Low-cardinality string
+    value_counts remain separate (cheap, pruned) jobs in both modes.
+    """
     fields = [
         f for f in df.schema.fields if columns is None or f.name in columns
     ]
+    qs = [i / n_bins for i in range(n_bins + 1)]
 
     # ---- pass 1: ONE fused agg over every column --------------------
     exprs = [F.count(F.lit(1)).alias("__n")]
@@ -73,6 +88,21 @@ def profile_table(
                     F.stddev_samp(c).alias(f"std:{a}"),
                 ]
             )
+            if approximate:
+                sk = F.kll_sketch_agg_double(
+                    c.cast("double"), F.lit(int(sketch_k))
+                )
+                # empty-sketch quantile extraction throws; when()
+                # short-circuits it (all-null column -> None edges)
+                exprs.append(
+                    F.when(
+                        F.kll_sketch_get_n_double(sk) > 0,
+                        F.kll_sketch_get_quantile_double(
+                            sk, F.array(*[F.lit(q) for q in qs])
+                        ),
+                    ).alias(f"kq:{a}")
+                )
+                exprs.append(sk.alias(f"kll:{a}"))
         elif isinstance(f.dataType, T.StringType):
             exprs.extend(
                 [
@@ -91,13 +121,77 @@ def profile_table(
     row = df.agg(*exprs).first()
     n = row["__n"]
 
-    # ---- pass 2: ONE multi-column quantile job for numeric bins -----
+    # ---- pass 2: numeric bin edges ----------------------------------
+    # approximate mode: edges were already extracted from the pass-1
+    # KLL sketches (zero extra scans); exact mode: ONE multi-column
+    # approxQuantile job
     num_cols = [f.name for f in fields if isinstance(f.dataType, _NUMERIC)]
-    qs = [i / n_bins for i in range(n_bins + 1)]
     edges_by_col: Dict[str, List[float]] = {}
     if num_cols and n > 0:
-        all_edges = df.approxQuantile(num_cols, qs, quantile_rel_err)
-        edges_by_col = dict(zip(num_cols, all_edges))
+        if approximate:
+            edges_by_col = {
+                a: list(row[f"kq:{a}"] or []) for a in num_cols
+            }
+        else:
+            all_edges = df.approxQuantile(num_cols, qs, quantile_rel_err)
+            edges_by_col = dict(zip(num_cols, all_edges))
+
+    # approximate mode: bin weights from the sketches' rank function —
+    # one LOCAL job over (col, sketch, deduped-edges) rows, never the
+    # table. kll_sketch_get_rank_double is inclusive (fraction of
+    # values <= e), so weight_i = rank(edge_{i+1}) - rank(edge_i).
+    ranks_by_col: Dict[str, List[float]] = {}
+    if approximate and num_cols and n > 0:
+        sk_rows = []
+        for a in num_cols:
+            s = row[f"kll:{a}"]
+            edges = edges_by_col.get(a) or []
+            dedup: List[float] = []
+            for e in edges:
+                if e is not None and (not dedup or e > dedup[-1]):
+                    dedup.append(float(e))
+            if s is not None and len(dedup) >= 2:
+                sk_rows.append((a, bytes(s), dedup))
+        if sk_rows:
+            spark = df.sparkSession
+            # Rank semantics must match the drift check's bin
+            # conditions ([lo, hi) per bin, [lo, hi] for the last):
+            # kll_sketch_get_rank_double is INCLUSIVE (fraction <= v),
+            # so interior edges use rank(e - delta) ~ fraction < e
+            # (delta tiny vs the edge spacing — on lattice-valued
+            # columns ALL the mass sits exactly on edges and inclusive
+            # ranks would shift every bin by one point mass), and only
+            # the final edge uses the inclusive rank. The rank value
+            # must be FOLDABLE (a literal), so each column gets a
+            # when() branch with its own literal edges — still one
+            # local job over len(num_cols) rows.
+            ranks_expr = None
+            for a, _s, dedup in sk_rows:
+                spacing = min(
+                    dedup[i + 1] - dedup[i]
+                    for i in range(len(dedup) - 1)
+                )
+                delta = spacing * 1e-6
+                branch = F.array(
+                    *[
+                        F.kll_sketch_get_rank_double("s", F.lit(e - delta))
+                        for e in dedup
+                    ],
+                    F.kll_sketch_get_rank_double("s", F.lit(dedup[-1])),
+                )
+                ranks_expr = (
+                    F.when(F.col("col") == a, branch)
+                    if ranks_expr is None
+                    else ranks_expr.when(F.col("col") == a, branch)
+                )
+            rrows = (
+                spark.createDataFrame(
+                    [(a, s) for a, s, _ in sk_rows], "col string, s binary"
+                )
+                .select("col", ranks_expr.alias("ranks"))
+                .collect()
+            )
+            ranks_by_col = {r["col"]: list(r["ranks"]) for r in rrows}
 
     # ---- pass 3: value_counts only where pass 1 showed low card -----
     head: List[Dict[str, Any]] = []
@@ -140,23 +234,39 @@ def profile_table(
                 if e is not None and (not bins or e > bins[-1]):
                     bins.append(float(e))
             if len(bins) >= 2 and nonnull:
-                hist_exprs = []
-                for i in range(len(bins) - 1):
-                    lo, hi = bins[i], bins[i + 1]
-                    c = F.col(a)
-                    cond = (c >= F.lit(lo)) & (
-                        (c <= F.lit(hi))
-                        if i == len(bins) - 2
-                        else (c < F.lit(hi))
-                    )
-                    hist_exprs.append(
-                        F.sum(F.when(cond, 1).otherwise(0)).alias(f"b{i}")
-                    )
-                hrow = df.agg(*hist_exprs).first()
-                weights = [
-                    (hrow[f"b{i}"] or 0) / nonnull
-                    for i in range(len(bins) - 1)
-                ]
+                if approximate:
+                    ranks = ranks_by_col.get(a)
+                    if not ranks:
+                        baseline["columns"][a] = col_info
+                        continue
+                    # ranks[:m] are exclusive ranks at the m edges,
+                    # ranks[m] the inclusive rank at the last edge;
+                    # bin i = [e_i, e_{i+1}) except the last, [lo, hi]
+                    m = len(bins)
+                    weights = [
+                        max(0.0, ranks[i + 1] - ranks[i])
+                        for i in range(m - 2)
+                    ] + [max(0.0, ranks[m] - ranks[m - 2])]
+                else:
+                    hist_exprs = []
+                    for i in range(len(bins) - 1):
+                        lo, hi = bins[i], bins[i + 1]
+                        c = F.col(a)
+                        cond = (c >= F.lit(lo)) & (
+                            (c <= F.lit(hi))
+                            if i == len(bins) - 2
+                            else (c < F.lit(hi))
+                        )
+                        hist_exprs.append(
+                            F.sum(F.when(cond, 1).otherwise(0)).alias(
+                                f"b{i}"
+                            )
+                        )
+                    hrow = df.agg(*hist_exprs).first()
+                    weights = [
+                        (hrow[f"b{i}"] or 0) / nonnull
+                        for i in range(len(bins) - 1)
+                    ]
                 tail = max(0.0, (1.0 - sum(weights)) / 2.0)
                 col_info["partition"] = {
                     "bins": bins,

@@ -19,6 +19,7 @@ from great_expectations_spark.profile import (
     save_baseline,
     suite_from_baseline,
 )
+from great_expectations_spark.data.images import images_df
 from great_expectations_spark.sources.iceberg import iceberg_available
 from great_expectations_spark.sources.readers import (
     infer_reader_method,
@@ -212,3 +213,63 @@ def test_catalog_table_read(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS ges_test_db.t1")
         spark.sql("DROP DATABASE IF EXISTS ges_test_db")
+
+
+def test_profile_table_approximate_one_scan(spark, monkeypatch):
+    """approximate=True profiles numerics in ONE scan: bin edges and
+    weights come from pass-1 KLL sketches (approxQuantile and the
+    histogram agg are never called), and the resulting partitions are
+    drift-usable — close to the exact profile's."""
+    from pyspark.sql import DataFrame
+    from great_expectations_spark.profile import profile_table
+
+    df = images_df(spark, n_rows=4000, seed=9)
+    exact = profile_table(df, head_rows=0)
+
+    def boom(self, *a, **k):
+        raise AssertionError("approxQuantile called in approximate mode")
+
+    monkeypatch.setattr(DataFrame, "approxQuantile", boom)
+    approx = profile_table(df, head_rows=0, approximate=True)
+
+    for col in ("w", "h"):
+        pa = approx["columns"][col]["partition"]
+        assert len(pa["bins"]) >= 2
+        # the partition is a proper probability mass over the bins
+        # (exact and approx bin EDGES legitimately differ, so weights
+        # aren't comparable bin-for-bin — self-consistency with the
+        # drift check below is the real contract)
+        assert abs(sum(pa["weights"]) - 1.0) < 0.05
+        assert pa["bins"][0] >= exact["columns"][col]["min"]
+        assert pa["bins"][-1] <= exact["columns"][col]["max"]
+        assert all(0 <= wt <= 1 for wt in pa["weights"])
+    # scalar stats identical (same fused pass in both modes)
+    assert approx["columns"]["w"]["mean"] == exact["columns"]["w"]["mean"]
+
+    # the approximate baseline drives the drift suite end-to-end
+    from great_expectations_spark.profile import suite_from_baseline
+    import great_expectations_spark as ges
+
+    s = suite_from_baseline(approx, drift="psi")
+    res = ges.validate(df, s)
+    psi_results = [
+        r for r in res.results
+        if "kl_divergence" in r.expectation_config.expectation_type
+        or "psi" in r.expectation_config.expectation_type
+    ]
+    # profiling data vs its own baseline: no drift
+    assert all(r.success for r in psi_results)
+
+
+def test_profile_table_approximate_allnull_numeric(spark):
+    """An all-null numeric column in approximate mode yields no
+    partition (empty sketch) and profiling does not throw."""
+    from great_expectations_spark.profile import profile_table
+    from pyspark.sql import functions as F
+
+    df = images_df(spark, n_rows=300, seed=4).withColumn(
+        "dead", F.lit(None).cast("double")
+    )
+    b = profile_table(df, head_rows=0, approximate=True)
+    assert "partition" not in b["columns"]["dead"]
+    assert b["columns"]["dead"]["nonnull"] == 0
