@@ -1065,11 +1065,75 @@ def _clusters_duck_sql(cand_sql: str) -> str:
 _CLUSTERS_DUCK = _clusters_duck_sql(_MINHASH_DUCK_PAIRS)
 
 
+_CC_DRIVER_MAX_EDGES = 1_000_000
+
+
+def _driver_union_find(
+    edge_rows, nodes: DataFrame
+) -> DataFrame:
+    """Exact connected components for a SMALL edge list on the driver:
+    classic union-find with path compression + union by size, then
+    each vertex labeled with its component's minimum id — identical
+    semantics to min-label propagation at any diameter. Driver memory
+    is bounded by the caller's edge cap (two ids per edge); the
+    result is a tiny label table the corpus join broadcasts."""
+    parent: dict = {}
+    size: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        for v in (a, b):
+            if v not in parent:
+                parent[v] = v
+                size[v] = 1
+        ra, rb = find(a), find(b)
+        if ra == rb:
+            return
+        if size[ra] < size[rb]:
+            ra, rb = rb, ra
+        parent[rb] = ra
+        size[ra] += size[rb]
+
+    for r in edge_rows:
+        union(r[0], r[1])
+    comp_min: dict = {}
+    for v in parent:
+        root = find(v)
+        if root not in comp_min or v < comp_min[root]:
+            comp_min[root] = v
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    spark = nodes.sparkSession
+    id_type = nodes.schema["doc_id"].dataType
+    from pyspark.sql import types as _T
+
+    schema = _T.StructType(
+        [
+            _T.StructField("doc_id", id_type),
+            _T.StructField("__uf_label", id_type),
+        ]
+    )
+    lab = spark.createDataFrame(rows, schema)
+    return nodes.join(F.broadcast(lab), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("__uf_label"), F.col("doc_id")).alias(
+            "cluster_id"
+        ),
+    )
+
+
 def min_label_components(
     pairs: DataFrame,
     nodes: DataFrame,
     rounds: Optional[int] = None,
     max_rounds: int = _CC_MAX_ROUNDS,
+    driver_max_edges: Optional[int] = _CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components by min-label propagation over undirected
     `pairs` (doc_a, doc_b); `nodes` supplies the full vertex domain
@@ -1083,7 +1147,25 @@ def min_label_components(
     each; lineage is truncated per round with localCheckpoint —
     without that, round k's plan embeds the edge pipeline k more
     times and Catalyst blows the driver heap before any task runs.
-    Returns (doc_id, cluster_id)."""
+    Returns (doc_id, cluster_id).
+
+    Small-graph shortcut: when the edge list fits under
+    ``driver_max_edges`` (bounded collect — the LSH pair emission is
+    already capped per bucket, but the TOTAL is corpus-dependent),
+    components come from one driver-side union-find instead of
+    diameter+1 rounds of tiny jobs: exact at any diameter, one job to
+    collect the edges and one broadcast join to label the vertex
+    domain. Above the cap (or with a fixed ``rounds`` budget, which
+    the boundary tests use), the fully-distributed loop runs — the
+    100 TB path, O(edges) per round, no driver graph."""
+    if rounds is None and driver_max_edges:
+        edge_rows = (
+            pairs.select("doc_a", "doc_b")
+            .limit(driver_max_edges + 1)
+            .collect()
+        )
+        if len(edge_rows) <= driver_max_edges:
+            return _driver_union_find(edge_rows, nodes)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -70,3 +70,38 @@ def test_dedup_clusters_matches_closure_oracle(spark, tmp_path):
     hot = [r for r in got if r[3] == 40]
     assert sum(1 for r in hot if r[2]) == 1
     assert all(r[1] == 0 for r in hot)
+
+
+def test_union_find_matches_distributed_propagation(spark):
+    """The driver union-find shortcut and the distributed min-label
+    loop are the same function: identical (doc_id, cluster_id) output
+    on a graph with chains (diameter > 1), a cycle, and isolated
+    vertices."""
+    edges = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
+             (20, 21)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 12, 20, 21, 99]],
+        "doc_id long",
+    )
+    fast = {
+        (r["doc_id"], r["cluster_id"])
+        for r in sq.min_label_components(pairs, nodes).collect()
+    }
+    slow = {
+        (r["doc_id"], r["cluster_id"])
+        for r in sq.min_label_components(
+            pairs, nodes, driver_max_edges=None
+        ).collect()
+    }
+    assert fast == slow
+    assert (99, 99) in fast and (4, 1) in fast and (12, 10) in fast
+
+    # cap exceeded -> falls back to the distributed loop (same result)
+    capped = {
+        (r["doc_id"], r["cluster_id"])
+        for r in sq.min_label_components(
+            pairs, nodes, driver_max_edges=3
+        ).collect()
+    }
+    assert capped == fast

@@ -224,3 +224,41 @@ def test_compiled_params_fast_path_and_bounded_cache(spark):
     rebound_ids = {id(v) for v in compiled._rebound.values()}
     compiled.validate(df, evaluation_parameters={"cap": 5})
     assert {id(v) for v in compiled._rebound.values()} == rebound_ids
+
+
+def test_compiled_sketch_partials(spark):
+    """approximate=True (HLL distinct + KLL quantile sketch partials)
+    flows through the compile-once path: the hoisted plan carries the
+    sketch merges and two different batches produce estimates matching
+    one-shot validation on the same batch."""
+    from great_expectations_spark.data.images import images_df
+
+    suite = (
+        ges.suite("sk")
+        .expect("expect_column_unique_value_count_to_be_between",
+                column="image_id", min_value=1, max_value=10**9,
+                approximate=True)
+        .expect("expect_column_median_to_be_between", column="w",
+                min_value=0, max_value=10**6, approximate=True)
+    )
+    b1 = images_df(spark, n_rows=2000, seed=21)
+    b2 = images_df(spark, n_rows=3000, seed=22)
+    compiled = ges.compile_suite(suite, b1.schema, spark)
+    for b in (b1, b2):
+        got = compiled.validate(b)
+        ref = ges.validate(b, suite, strategy="single_pass")
+        assert [r.success for r in got.results] == [
+            r.success for r in ref.results
+        ]
+        # HLL estimate is deterministic for a given input set
+        assert (
+            got.results[0].result["observed_value"]
+            == ref.results[0].result["observed_value"]
+        )
+        # KLL is randomized in compaction: same data, close estimate
+        med_c = got.results[1].result["observed_value"]
+        med_r = ref.results[1].result["observed_value"]
+        lo, hi = b.selectExpr("cast(w as double) w").approxQuantile(
+            "w", [0.4, 0.6], 0.0
+        )
+        assert lo <= med_c <= hi and lo <= med_r <= hi
