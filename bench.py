@@ -87,6 +87,8 @@ HEADLINE = [
     "token_count_by_source",
     "doc_repetition_scores",
     "ngram_contamination",
+    "split_fingerprint_overlap",
+    "events_cardinality_by_hour",
     "doc_fingerprints",
     "doc_winnow_fingerprints",
 ]

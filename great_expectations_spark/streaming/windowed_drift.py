@@ -194,3 +194,60 @@ def windowed_distinct_stats(
         F.round(ratio, 6).alias("distinct_ratio"),
         collapsed.alias("collapsed"),
     )
+
+
+def windowed_quantile_stats(
+    stream_df: DataFrame,
+    column: str,
+    quantiles=(0.5, 0.95, 0.99),
+    ts_col: str = "ts",
+    window_len: str = "10 minutes",
+    watermark: str = "5 minutes",
+    slide: Optional[str] = None,
+    sketch_k: int = 200,
+    upper_bounds: Optional[Dict[float, float]] = None,
+) -> DataFrame:
+    """Per-event-time-window quantiles of a numeric column via a
+    Datasketches KLL sketch — tail-latency/size monitoring (p50/p95/
+    p99) with O(sketch) streaming state per open window; an exact
+    streaming percentile would hold every value of every open window
+    in the state store. ``upper_bounds`` maps quantile -> max allowed
+    value; ``breached`` is true when any bound is exceeded. Output
+    columns are named p50 / p95 / p99 / p99_9 after the quantile.
+    Same watermark/append shape as the other windowed monitors, so
+    closed windows evict their state."""
+    qs = [float(q) for q in quantiles]
+    names = [
+        "p" + ("%g" % (q * 100)).replace(".", "_") for q in qs
+    ]
+    c = F.col(column).cast("double")
+    sk = F.kll_sketch_agg_double(c, F.lit(int(sketch_k)))
+    qarr = F.when(
+        F.kll_sketch_get_n_double(sk) > 0,
+        F.kll_sketch_get_quantile_double(
+            sk, F.array(*[F.lit(q) for q in qs])
+        ),
+    )
+    w = F.window(F.col(ts_col), window_len, slide or window_len)
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), qarr.alias("__q"))
+    )
+    breached = F.lit(False)
+    if upper_bounds:
+        for q, bound in upper_bounds.items():
+            i = qs.index(float(q))
+            breached = breached | (
+                F.element_at("__q", i + 1) > F.lit(float(bound))
+            )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n"),
+        *[
+            F.element_at("__q", i + 1).alias(names[i])
+            for i in range(len(qs))
+        ],
+        breached.alias("breached"),
+    )

@@ -354,3 +354,81 @@ def test_windowed_distinct_collapse_stream(spark, tmp_path):
     assert abs(w1["distinct_est"] - exact1) <= 4 * 0.02 * exact1
     assert w2["distinct_est"] == 3
     assert w2["distinct_ratio"] < 0.05
+
+
+def test_windowed_quantile_breach_stream(spark, tmp_path):
+    """Windowed KLL quantiles: a window whose tail explodes (values
+    x10) breaches its p99 bound; the healthy window's p50 matches the
+    batch exact-rank window."""
+    from great_expectations_spark.streaming.windowed_drift import (
+        windowed_quantile_stats,
+    )
+
+    src = str(tmp_path / "qsrc")
+    os.makedirs(src, exist_ok=True)
+
+    def rows(base_ts, scale, seed):
+        import random
+
+        rnd = random.Random(seed)
+        return [
+            (
+                datetime.datetime.fromtimestamp(
+                    base_ts + rnd.uniform(0, 500),
+                    tz=datetime.timezone.utc,
+                ),
+                rnd.uniform(0, 100) * scale,
+            )
+            for _ in range(500)
+        ]
+
+    t0 = 1_700_000_400
+    schema = "ts timestamp, v double"
+    spark.createDataFrame(rows(t0, 1.0, 1), schema).write.mode(
+        "overwrite"
+    ).parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows(t0 + 600, 10.0, 2), schema).write.mode(
+        "overwrite"
+    ).parquet(src + "/f2.parquet")
+    spark.createDataFrame(
+        [
+            (
+                datetime.datetime.fromtimestamp(
+                    t0 + 1600, tz=datetime.timezone.utc
+                ),
+                1.0,
+            )
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src + "/f3.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    out = windowed_quantile_stats(
+        stream, "v", quantiles=(0.5, 0.99),
+        window_len="10 minutes", watermark="5 minutes",
+        upper_bounds={0.99: 150.0},
+    )
+    res_path = str(tmp_path / "qres")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", res_path)
+        .option("checkpointLocation", str(tmp_path / "qchk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["window_start"].timestamp(): r
+        for r in spark.read.parquet(res_path).collect()
+    }
+    w1, w2 = got[t0], got[t0 + 600]
+    assert not w1["breached"] and w2["breached"]
+    assert w2["p99"] > 500
+    batch = spark.read.parquet(src + "/f1.parquet")
+    lo, hi = batch.approxQuantile("v", [0.45, 0.55], 0.0)
+    assert lo <= w1["p50"] <= hi
