@@ -1793,7 +1793,13 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("cv"),
     )
 
-    sim = _vec_cos(F.col("qv"), F.col("cv"))
+    # norms hoisted out of the crossJoin (see _kmeans_assign): the
+    # corpus norm is computed once per row, not once per (row, query)
+    q = q.withColumn("qnorm", F.sqrt(_vec_dot(F.col("qv"), F.col("qv"))))
+    c = c.withColumn("cnorm", F.sqrt(_vec_dot(F.col("cv"), F.col("cv"))))
+    sim = _vec_dot(F.col("qv"), F.col("cv")) / (
+        F.col("qnorm") * F.col("cnorm")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -2135,11 +2141,24 @@ def _kmeans_assign(ev: DataFrame, cent: DataFrame) -> DataFrame:
     row-local (BroadcastNestedLoop over K rows, no shuffle of the
     corpus); the argmax is a map-side-combined max(struct) hash agg —
     one slim (vec_id, v, cid) row per vector crosses the wire."""
-    scored = ev.crossJoin(F.broadcast(cent)).select(
+    # hoist norms OUT of the crossJoin: _vec_cos inline would
+    # recompute the vector norm K times per vector and the centroid
+    # norm once per corpus row; higher-order array expressions are
+    # interpreter-evaluated, so those redundant dot products are the
+    # assignment's dominant cost. sqrt(dot(x,x))*sqrt(dot(y,y)) is the
+    # same float64 expression either way — bit-identical sims.
+    evn = ev.withColumn("vnorm", F.sqrt(_vec_dot(F.col("v"), F.col("v"))))
+    centn = cent.withColumn(
+        "cnorm", F.sqrt(_vec_dot(F.col("cvec"), F.col("cvec")))
+    )
+    scored = evn.crossJoin(F.broadcast(centn)).select(
         "vec_id",
         "v",
         "cid",
-        _vec_cos(F.col("v"), F.col("cvec")).alias("sim"),
+        (
+            _vec_dot(F.col("v"), F.col("cvec"))
+            / (F.col("vnorm") * F.col("cnorm"))
+        ).alias("sim"),
     )
     best = scored.groupBy("vec_id").agg(
         F.max(
