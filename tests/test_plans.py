@@ -86,3 +86,19 @@ def test_referential_is_broadcast_anti_join(spark):
     txt = plan_of(sq.referential_violations(spark, SF))
     assert "LeftAnti" in txt
     assert "Broadcast" in txt
+
+
+def test_split_overlap_prunes_to_two_columns(spark):
+    """Theta-sketch overlap reads only (source, text) — never doc_id
+    or the other document columns — and plans no join: the overlap is
+    sketch algebra, not distinct+join."""
+    txt = plan_of(sq.split_fingerprint_overlap(spark, SF), "formatted")
+    assert "ReadSchema: struct<text:string,source:string>" in txt
+    assert "Join" not in txt
+
+
+def test_cardinality_by_hour_prunes_to_two_columns(spark):
+    txt = plan_of(sq.events_cardinality_by_hour(spark, SF), "formatted")
+    assert "ReadSchema: struct<ts:timestamp" in txt
+    assert "user_id:bigint" in txt
+    assert "props" not in txt and "value" not in txt.split("ReadSchema")[1]
