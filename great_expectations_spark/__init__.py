@@ -19,7 +19,7 @@ from .core.result import (
     ExpectationSuiteValidationResult,
     ExpectationValidationResult,
 )
-from .checkpoint import CheckpointRunner
+from .checkpoint import CheckpointRunner, run_validations
 from .operators.registry import list_expectation_types
 from .plans.planner import CompiledSuite, SparkValidator, compile_suite, validate
 from .profile import profile_table, suite_from_baseline
@@ -38,6 +38,7 @@ __all__ = [
     "list_expectation_types",
     "parse_result_format",
     "profile_table",
+    "run_validations",
     "suite",
     "suite_from_baseline",
     "validate",

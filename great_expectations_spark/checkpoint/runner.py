@@ -144,6 +144,7 @@ class CheckpointRunner:
         actions: Optional[List[Any]] = None,
         evaluation_parameters: Optional[Dict[str, Any]] = None,
         base_run_id: Optional[str] = None,
+        max_concurrent_groups: int = 1,
     ):
         self.spark = spark
         self.table_path = table_path
@@ -160,6 +161,15 @@ class CheckpointRunner:
         # `base_run_id` completed, inheriting that run's persisted
         # mergeable partials (see run() for the full contract)
         self.base_run_id = base_run_id
+        # >1 submits independent per-group single-pass jobs from a
+        # bounded driver thread pool (the reference's AsyncExecutor
+        # shape, checkpoint/checkpoint.py:389-401, applied at the
+        # group grain): one SparkSession takes concurrent job
+        # submissions, so group k+1's scan runs while group k's
+        # taper/driver phases would otherwise idle the cluster.
+        # State files stay atomic per group, so resume semantics are
+        # unchanged.
+        self.max_concurrent_groups = max(1, int(max_concurrent_groups))
         os.makedirs(self.groups_dir, exist_ok=True)
 
     # -- plumbing -------------------------------------------------------------
@@ -284,12 +294,26 @@ class CheckpointRunner:
                 "table schema differs from the base run's; partial "
                 "layouts are incompatible — run a full checkpoint"
             )
-        if not os.path.exists(
-            os.path.join(self._base_dir(), "result.json")
-        ):
+        base_result_path = os.path.join(
+            self._base_dir(), "result.json"
+        )
+        if not os.path.exists(base_result_path):
             raise RuntimeError(
                 f"base run {self.base_run_id!r} did not complete "
                 "(no result.json); resume it before building on it"
+            )
+        with open(base_result_path) as f:
+            base_meta = json.load(f).get("meta") or {}
+        if base_meta.get("groups_failed"):
+            # a base that finished WITH failed domains has no state
+            # files for those domains' tags — inheriting from it would
+            # silently merge EMPTY partials and report delta-only
+            # stats as full-table results for the failed domains
+            raise RuntimeError(
+                f"base run {self.base_run_id!r} completed with "
+                f"{base_meta['groups_failed']} failed group(s); its "
+                "partials are incomplete — re-run the base to green "
+                "before building an incremental run on it"
             )
         current = {rel: size for rel, size in entries}
         violations = [
@@ -422,6 +446,7 @@ class CheckpointRunner:
             with open(path) as f:
                 return json.load(f)
         rows: List[Dict[str, Any]] = []
+        matched = 0
         base_groups = os.path.join(self._base_dir(), "groups")
         for fn in sorted(os.listdir(base_groups)):
             if not fn.endswith(".json") or fn.endswith(".tmp"):
@@ -436,7 +461,20 @@ class CheckpointRunner:
                 )
             if gs["tag"] != tag:
                 continue
+            matched += 1
             rows.extend(gs["partition_rows"])
+        if matched == 0:
+            # suite_hash equality guarantees the base run planned the
+            # SAME domains, so zero matching state files means the
+            # domain failed (or was never executed) in the base —
+            # inheriting nothing would silently pass off delta-only
+            # stats as full-table results for this domain
+            raise RuntimeError(
+                f"base run {self.base_run_id!r} has no group state "
+                f"for domain tag {tag or '<no row_condition>'!r}; "
+                "the domain did not complete in the base — run a "
+                "full (non-incremental) checkpoint"
+            )
         state = {
             "group": "__inherited",
             "tag": tag,
@@ -527,9 +565,31 @@ class CheckpointRunner:
             skipped += d_skip
 
         ordered = [evrs[i] for i in sorted(evrs)]
+        # The result meta carries a SLIM pin — fingerprint + counts,
+        # never the file listing. batch.json keeps the full manifest;
+        # at 10^12-row scale the listing is ~10^6 entries, and
+        # embedding it verbatim would bloat every result.json and
+        # every in-memory result, and resolve_validation_urn
+        # json-loads each stored run's result.json, so URN resolution
+        # would degrade with every run.
+        slim_pin = {
+            k: pinned[k]
+            for k in (
+                "fingerprint", "suite_hash", "schema_fp",
+                "table_path", "kind", "pinned_at",
+            )
+            if k in pinned
+        }
+        slim_pin["files_count"] = len(pinned.get("files") or [])
+        if "delta_files" in pinned:
+            slim_pin["delta_files_count"] = len(
+                pinned["delta_files"] or []
+            )
+        if "base_run_id" in pinned:
+            slim_pin["base_run_id"] = pinned["base_run_id"]
         meta = {
             "run_id": self.run_id,
-            "batch": pinned,
+            "batch": slim_pin,
             "groups_total": len(groups) * len(domains),
             "groups_computed": computed,
             "groups_resumed": skipped,
@@ -599,31 +659,51 @@ class CheckpointRunner:
         caps = plan.caps
         violation_exprs = plan.violation_exprs
 
-        # group loop — resume skips any group with a committed file
+        # group loop — resume skips any group with a committed file;
+        # missing groups run through run_validations (bounded thread
+        # pool over independent Spark jobs) when max_concurrent_groups
+        # > 1, else inline. Either way group_states keeps input order.
         group_states: List[Dict[str, Any]] = []
         computed, skipped = 0, 0
         if inherit:
             group_states.append(self._inherited_state(tag))
         scan_df = grid_df if grid_df is not None else df
-        for g in groups:
+        viol_caps = {f"v{i}": cap for i, cap in caps.items()}
+        state_by_group: Dict[int, Dict[str, Any]] = {}
+        to_compute: List[int] = []
+        for gi, g in enumerate(groups):
             gp = self._group_path(g, tag)
             if os.path.exists(gp):
                 with open(gp) as f:
-                    group_states.append(json.load(f))
+                    state_by_group[gi] = json.load(f)
                 skipped += 1
-                continue
-            group_states.append(
-                self._run_group(
-                    scan_df, g, partials, violation_exprs,
-                    merges=merges,
-                    viol_caps={
-                        f"v{i}": cap for i, cap in caps.items()
-                    },
-                    tag=tag,
-                    n_parts=n_parts,
-                )
+            else:
+                to_compute.append(gi)
+
+        def _compute(gi):
+            return lambda: self._run_group(
+                scan_df, groups[gi], partials, violation_exprs,
+                merges=merges, viol_caps=viol_caps, tag=tag,
+                n_parts=n_parts,
             )
-            computed += 1
+
+        if to_compute:
+            from .concurrent import run_validations
+
+            outs = run_validations(
+                [_compute(gi) for gi in to_compute],
+                max_concurrency=self.max_concurrent_groups,
+                spark=self.spark,
+                pool_prefix=f"ges-group{tag}",
+            )
+            for gi, out in zip(to_compute, outs):
+                if isinstance(out, Exception):
+                    raise out
+                state_by_group[gi] = out
+                computed += 1
+        group_states.extend(
+            state_by_group[gi] for gi in range(len(groups))
+        )
 
         # finalize: merge every group's per-partition partials
         all_rows: List[Dict[str, Any]] = []

@@ -31,6 +31,17 @@ def _run_query(df, query: str, template_dict: Optional[dict] = None):
         raise TypeError(
             "template_dict supplied by the expectation must be a dict"
         )
+    reserved = {"active_batch", "batch"} & set(template_dict or {})
+    if reserved:
+        # a user-supplied {active_batch}/{batch} would silently point
+        # the query at something other than the validated batch view;
+        # without this guard format(**d, active_batch=...) raises an
+        # opaque "got multiple values for keyword argument" TypeError
+        raise ValueError(
+            f"template_dict keys {sorted(reserved)} are reserved: "
+            "{active_batch}/{batch} always bind to the validated "
+            "batch's temp view"
+        )
     view = f"ges_batch_{uuid.uuid4().hex[:12]}"
     df.createOrReplaceTempView(view)
     try:

@@ -337,9 +337,21 @@ def violation_slice_expr(
     ).alias(alias)
 
 
-# session id -> whether ges.spark.CappedCollect is reachable (the
-# reflection probe costs a py4j round-trip; memoize per session)
-_JVM_UDAF_AVAILABLE: Dict[int, bool] = {}
+# session key -> whether ges.spark.CappedCollect is reachable (the
+# reflection probe costs a py4j round-trip; memoize per session).
+# Keyed by the SparkContext applicationId, NOT id(spark): a
+# garbage-collected session's address can be reused by a new session,
+# which would silently inherit a stale False verdict and permanently
+# downgrade it to the O(partition-violations) fallback even with the
+# jar present. applicationId is unique per JVM-backed context.
+_JVM_UDAF_AVAILABLE: Dict[str, bool] = {}
+
+
+def _session_key(spark) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # noqa: BLE001 - stopped context: don't cache
+        return f"__no_context_{id(spark)}"
 
 
 def _jvm_capped_collect(spark, col: Column, cap: int) -> Optional[Column]:
@@ -349,7 +361,10 @@ def _jvm_capped_collect(spark, col: Column, cap: int) -> Optional[Column]:
     spark.driver.extraClassPath at launch) and the thread context
     class loader (jar supplied via sparkContext.addJar in local
     mode)."""
-    if spark is None or _JVM_UDAF_AVAILABLE.get(id(spark)) is False:
+    if spark is None:
+        return None
+    key = _session_key(spark)
+    if _JVM_UDAF_AVAILABLE.get(key) is False:
         return None
     jvm = spark._jvm
     jcol = None
@@ -367,9 +382,9 @@ def _jvm_capped_collect(spark, col: Column, cap: int) -> Optional[Column]:
             )
             jcol = m.invoke(None, col._jc, cap)
         except Exception:  # noqa: BLE001 - jar absent: use fallback
-            _JVM_UDAF_AVAILABLE[id(spark)] = False
+            _JVM_UDAF_AVAILABLE[key] = False
             return None
-    _JVM_UDAF_AVAILABLE[id(spark)] = True
+    _JVM_UDAF_AVAILABLE[key] = True
     return Column(jcol)
 
 

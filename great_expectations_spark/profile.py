@@ -157,24 +157,27 @@ def profile_table(
             # Rank semantics must match the drift check's bin
             # conditions ([lo, hi) per bin, [lo, hi] for the last):
             # kll_sketch_get_rank_double is INCLUSIVE (fraction <= v),
-            # so interior edges use rank(e - delta) ~ fraction < e
-            # (delta tiny vs the edge spacing — on lattice-valued
-            # columns ALL the mass sits exactly on edges and inclusive
-            # ranks would shift every bin by one point mass), and only
-            # the final edge uses the inclusive rank. The rank value
-            # must be FOLDABLE (a literal), so each column gets a
-            # when() branch with its own literal edges — still one
-            # local job over len(num_cols) rows.
+            # so interior edges query the rank of the largest float64
+            # BELOW the edge — math.nextafter(e, -inf) — which is
+            # exactly "fraction < e" (on lattice-valued columns ALL
+            # the mass sits on edges and inclusive ranks would shift
+            # every bin by one point mass). A relative offset like
+            # spacing*1e-6 rounds back to e in float64 once edge
+            # magnitude/spacing passes ~1e10 (nanosecond-epoch
+            # columns), silently turning the rank inclusive; only the
+            # final edge uses the inclusive rank. The rank value must
+            # be FOLDABLE (a literal), so each column gets a when()
+            # branch with its own literal edges — still one local job
+            # over len(num_cols) rows.
+            import math
+
             ranks_expr = None
             for a, _s, dedup in sk_rows:
-                spacing = min(
-                    dedup[i + 1] - dedup[i]
-                    for i in range(len(dedup) - 1)
-                )
-                delta = spacing * 1e-6
                 branch = F.array(
                     *[
-                        F.kll_sketch_get_rank_double("s", F.lit(e - delta))
+                        F.kll_sketch_get_rank_double(
+                            "s", F.lit(math.nextafter(e, -math.inf))
+                        )
                         for e in dedup
                     ],
                     F.kll_sketch_get_rank_double("s", F.lit(dedup[-1])),

@@ -681,7 +681,9 @@ _SHARE_CACHE: Dict[str, DataFrame] = {}
 def _shared_stage(stage: str, spark: SparkSession, sf_dir: str, build):
     if os.environ.get("SPARK_GRAFT_SHARE_SIGS") != "1":
         return build()
-    key = f"{stage}|{id(spark)}|{sf_dir}"
+    # applicationId, not id(spark): a recycled session address must
+    # not resurrect DataFrames bound to a stopped SparkContext
+    key = f"{stage}|{spark.sparkContext.applicationId}|{sf_dir}"
     df = _SHARE_CACHE.get(key)
     if df is None:
         df = build().persist()
@@ -1134,6 +1136,7 @@ def min_label_components(
     rounds: Optional[int] = None,
     max_rounds: int = _CC_MAX_ROUNDS,
     driver_max_edges: Optional[int] = _CC_DRIVER_MAX_EDGES,
+    pairs_materialized: bool = False,
 ) -> DataFrame:
     """Connected components by min-label propagation over undirected
     `pairs` (doc_a, doc_b); `nodes` supplies the full vertex domain
@@ -1157,15 +1160,26 @@ def min_label_components(
     collect the edges and one broadcast join to label the vertex
     domain. Above the cap (or with a fixed ``rounds`` budget, which
     the boundary tests use), the fully-distributed loop runs — the
-    100 TB path, O(edges) per round, no driver graph."""
+    100 TB path, O(edges) per round, no driver graph.
+
+    The candidate pipeline executes ONCE regardless of which branch
+    wins: `pairs` is materialized (localCheckpoint) BEFORE the
+    driver-shortcut probe, so the probe's limit+collect and — when
+    the probe overflows — the symmetric edge table both read the
+    checkpoint instead of re-running the upstream LSH shuffles (at
+    corpus scale the >cap case is exactly the one that would pay the
+    pipeline twice). Callers that already hold a materialized edge
+    frame pass ``pairs_materialized=True`` to skip the re-checkpoint
+    (e.g. _cluster_keep_table, which shares it with the involved-
+    vertex projection)."""
     if rounds is None and driver_max_edges:
-        edge_rows = (
-            pairs.select("doc_a", "doc_b")
-            .limit(driver_max_edges + 1)
-            .collect()
-        )
+        if not pairs_materialized:
+            pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+        edge_rows = pairs.limit(driver_max_edges + 1).collect()
         if len(edge_rows) <= driver_max_edges:
-            return _driver_union_find(edge_rows, nodes)
+            return _driver_union_find(
+                [(r["doc_a"], r["doc_b"]) for r in edge_rows], nodes
+            )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -1250,13 +1264,20 @@ def _cluster_keep_table(
     """(doc_id, cluster_id, keep, cluster_size) over the full corpus
     from candidate pairs: min-label propagation over the
     candidate-involved vertices only, then one LEFT join back to the
-    corpus (AQE broadcasts the small converged label table)."""
+    corpus (AQE broadcasts the small converged label table).
+
+    The candidate pipeline is materialized ONCE here (localCheckpoint)
+    and every consumer — the involved-vertex projection, the
+    driver-shortcut probe, the distributed edge table — reads the
+    checkpoint; without this the LSH shuffles re-execute up to three
+    times."""
+    cand = cand.select("doc_a", "doc_b").localCheckpoint()
     involved = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    labels = min_label_components(cand, involved)
+    labels = min_label_components(cand, involved, pairs_materialized=True)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1321,19 +1342,47 @@ def _hexval_sql(expr: str, dialect: str) -> str:
     return "(" + " + ".join(parts) + ")"
 
 
-def _simhash_sql(dialect: str) -> str:
+def _token_hash_sql(dialect: str) -> str:
+    """words -> array of 16-bit ints, hashing each token ONCE:
+    md5 runs in the inner lambda (one call per token) and the hex ->
+    int arithmetic reads the 4-char prefix `m`, never re-hashing.
+    Inlining _hexval_sql(w) into every bit vote instead costs 16
+    redundant md5 evaluations per token — Spark does not CSE across
+    lambda bodies, and CollapseProject will not duplicate a
+    higher-order function, so projecting this ONCE and voting over
+    the int array is both the cheap and the plan-stable shape."""
+    lt = "list_transform" if dialect == "duck" else "transform"
+    return (
+        f"{lt}({lt}(words, w -> substr(md5(w), 1, 4)), "
+        f"m -> {_hexval_sql_raw('m', dialect)})"
+    )
+
+
+def _hexval_sql_raw(expr: str, dialect: str) -> str:
+    """int value of a 4-hex-char string `expr` (no hashing)."""
+    pos = "strpos" if dialect == "duck" else "instr"
+    parts = [
+        f"({pos}('0123456789abcdef', substr({expr}, {k}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i, k in enumerate(range(1, 5))
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _simhash_bits_sql(dialect: str) -> str:
+    """16 bit-test votes over the materialized token-hash int array
+    `hv` — integer arithmetic only, no hashing."""
     lt = "list_transform" if dialect == "duck" else "transform"
     lsum = (
         "list_sum({x})"
         if dialect == "duck"
         else "aggregate({x}, 0, (acc, v) -> acc + v)"
     )
-    hv = _hexval_sql("w", dialect)
     bits = []
     for j in range(16):
         vote = (
-            f"{lt}(words, w -> CASE WHEN "
-            f"CAST(floor({hv} / {2 ** j}.0) AS BIGINT) % 2 = 1 "
+            f"{lt}(hv, v -> CASE WHEN "
+            f"CAST(floor(v / {2 ** j}.0) AS BIGINT) % 2 = 1 "
             f"THEN 1 ELSE -1 END)"
         )
         bits.append(
@@ -1344,20 +1393,31 @@ def _simhash_sql(dialect: str) -> str:
 
 
 _SIMHASH_DUCK = f"""
-    SELECT doc_id, {_simhash_sql("duck")} AS simhash16
-    FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+    SELECT doc_id, {_simhash_bits_sql("duck")} AS simhash16
+    FROM (SELECT doc_id, {_token_hash_sql("duck")} AS hv
+          FROM (SELECT doc_id, string_split(text, ' ') AS words
+                FROM documents))
 """
 
 
 @register("dedup_simhash", _SIMHASH_DUCK)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document — pure expression pipeline (whole
-    document set never leaves the JVM; one projection, no shuffle)."""
+    document set never leaves the JVM; one projection, no shuffle).
+    Each token is md5-hashed exactly ONCE into a 16-bit int array;
+    the 16 bit votes are integer aggregates over that array (see
+    _token_hash_sql — the hash-per-vote inlining costs 16x md5)."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.split(F.col("text"), " ").alias("words")
-    ).select(
-        "doc_id", F.expr(_simhash_sql("spark")).alias("simhash16")
+    return (
+        d.select("doc_id", F.split(F.col("text"), " ").alias("words"))
+        .select(
+            "doc_id",
+            F.expr(_token_hash_sql("spark")).alias("hv"),
+        )
+        .select(
+            "doc_id",
+            F.expr(_simhash_bits_sql("spark")).alias("simhash16"),
+        )
     )
 
 
@@ -2303,6 +2363,108 @@ def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.round("full_sim", 6).alias("sim"),
             "rank",
+        )
+    )
+
+
+# --- ANN recall accounting ---------------------------------------------------
+# The no-silent-caps philosophy applied to ANN: every approximate
+# top-k ships with a measured recall@k against the exact brute-force
+# baseline, so a bucketing change that quietly destroys recall fails
+# parity/monotonicity checks instead of shipping. One row per method.
+
+
+def _ann_recall_duck() -> str:
+    """Composed oracle: each registered ANN oracle runs as a nested
+    CTE against the SAME exact baseline oracle, so the recall numbers
+    the driver verifies are recall of the *oracle-verified* plans."""
+    exact = _REGISTRY["embedding_cosine_topk"][1]
+    bodies = {
+        m: _REGISTRY[f"ann_{m}_topk"][1]
+        for m in ("ivf", "multiprobe", "kmeans")
+    }
+    unions = "\n      UNION ALL\n".join(
+        f"      SELECT '{m}' AS method, query_id, neighbor_id "
+        f"FROM ann_{m}" for m in ("ivf", "multiprobe", "kmeans")
+    )
+    return f"""
+    WITH exact_all AS ({exact}),
+    exact3 AS (
+      SELECT query_id, neighbor_id FROM exact_all WHERE rank <= 3
+    ),
+    ann_ivf AS ({bodies['ivf']}),
+    ann_multiprobe AS ({bodies['multiprobe']}),
+    ann_kmeans AS ({bodies['kmeans']}),
+    m AS (
+{unions}
+    ),
+    xn AS (SELECT count(*) AS exact_neighbors FROM exact3)
+    SELECT m.method,
+           CAST(count(DISTINCT m.query_id) AS BIGINT) AS queries,
+           CAST(count(*) AS BIGINT) AS returned,
+           CAST(sum(CASE WHEN e.neighbor_id IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+           CAST(max(xn.exact_neighbors) AS BIGINT) AS exact_neighbors,
+           round(sum(CASE WHEN e.neighbor_id IS NOT NULL
+                          THEN 1 ELSE 0 END) * 1.0
+                 / max(xn.exact_neighbors), 4) AS recall
+    FROM m
+    LEFT JOIN exact3 e ON e.query_id = m.query_id
+                      AND e.neighbor_id = m.neighbor_id
+    CROSS JOIN xn
+    GROUP BY m.method
+    """
+
+
+@register("ann_recall", _ann_recall_duck())
+def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@3 of each ANN variant (ivf single-probe, multi-probe,
+    label-free k-means) against the exact brute-force top-3
+    (embedding_cosine_topk rank<=3). The exact set per query is tiny
+    and broadcast; each ANN result LEFT-joins it and one hash agg per
+    method counts hits — no extra corpus scan beyond what the four
+    underlying queries already do. At 100 TB this runs on a sampled
+    query set exactly as here (10 queries), so cost is bounded by the
+    ANN probes themselves."""
+    exact3 = (
+        embedding_cosine_topk(spark, sf_dir)
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    methods = [
+        ("ivf", ann_ivf_topk),
+        ("multiprobe", ann_multiprobe_topk),
+        ("kmeans", ann_kmeans_topk),
+    ]
+    un = None
+    for name, fn in methods:
+        d = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+        un = d if un is None else un.unionByName(d)
+    exact_n = exact3.agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_neighbors")
+    )
+    return (
+        un.join(F.broadcast(exact3), ["query_id", "neighbor_id"], "left")
+        .groupBy("method")
+        .agg(
+            F.countDistinct("query_id").cast("bigint").alias("queries"),
+            F.count(F.lit(1)).cast("bigint").alias("returned"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("hits"),
+        )
+        .crossJoin(F.broadcast(exact_n))
+        .select(
+            "method",
+            "queries",
+            "returned",
+            "hits",
+            "exact_neighbors",
+            F.round(
+                F.col("hits") / F.col("exact_neighbors"), 4
+            ).alias("recall"),
         )
     )
 

@@ -105,3 +105,56 @@ def test_union_find_matches_distributed_propagation(spark):
         ).collect()
     }
     assert capped == fast
+
+
+def test_pairs_subtree_executes_once_over_cap(spark):
+    """The over-cap path (driver-shortcut probe overflows) must NOT
+    pay the candidate pipeline twice: min_label_components
+    materializes `pairs` before the probe and both the probe and the
+    distributed edge table read the checkpoint. Counted with an
+    accumulator inside the pairs subtree — one execution == one
+    increment per pair row."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def counted(v: pd.Series) -> pd.Series:
+        acc.add(len(v))
+        return v
+
+    # star graph 0-(i): diameter 2, converges well inside the
+    # round budget regardless of n
+    n = 40
+    base = spark.range(1, n + 1).select(
+        (F.col("id") * 0).alias("doc_a"),
+        counted(F.col("id")).alias("doc_b"),
+    )
+    nodes = spark.range(n + 1).select(F.col("id").alias("doc_id"))
+
+    # over-cap: probe collects cap+1, falls back to the loop
+    labels = sq.min_label_components(
+        base, nodes, driver_max_edges=5
+    ).collect()
+    assert {r.cluster_id for r in labels} == {0}  # one star component
+    assert acc.value == n, "pairs subtree executed more than once"
+
+    # under-cap: one execution there too
+    acc2 = spark.sparkContext.accumulator(0)
+
+    @pandas_udf("long")
+    def counted2(v: pd.Series) -> pd.Series:
+        acc2.add(len(v))
+        return v
+
+    base2 = spark.range(1, n + 1).select(
+        (F.col("id") * 0).alias("doc_a"),
+        counted2(F.col("id")).alias("doc_b"),
+    )
+    labels = sq.min_label_components(
+        base2, nodes, driver_max_edges=10_000
+    ).collect()
+    assert {r.cluster_id for r in labels} == {0}
+    assert acc2.value == n

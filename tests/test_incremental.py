@@ -278,3 +278,111 @@ def test_incremental_kll_quantiles(spark, tmp_path):
         vals = run.results[0].result["observed_value"]["values"]
         for v, lo, hi in zip(vals, los, his):
             assert lo <= v <= hi, (vals, los, his)
+
+
+def test_failed_base_domain_rejected(spark, tmp_path):
+    """A base run that completed WITH a failed row_condition domain
+    writes result.json but no group state for that domain's tag; an
+    incremental run building on it would silently inherit EMPTY
+    partials and report delta-only stats as full-table results.
+    _compute_delta must reject such bases loudly."""
+    path = write_base(spark, tmp_path)
+    state = str(tmp_path / "state")
+    bad_suite = the_suite().expect(
+        "expect_column_values_to_not_be_null",
+        column="w",
+        row_condition="no_such_column > 0",
+        condition_parser="spark",
+    )
+    base = CheckpointRunner(
+        spark, path, bad_suite, state, "badbase", group_col="fmt"
+    ).run()
+    assert base.meta["groups_failed"] > 0  # the hazard is real
+
+    append_batch(spark, path)
+    with pytest.raises(RuntimeError, match="failed group"):
+        CheckpointRunner(
+            spark, path, bad_suite, state, "incr_on_bad",
+            group_col="fmt", base_run_id="badbase",
+        ).run()
+
+
+def test_missing_base_domain_state_rejected(spark, tmp_path):
+    """Second guard: even past the groups_failed gate, a domain tag
+    matching ZERO base group files (state deleted/corrupted) must
+    fail loud instead of inheriting nothing."""
+    import glob
+    import os
+
+    path = write_base(spark, tmp_path)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+    # destroy the row_condition domain's state files in the base
+    victims = glob.glob(
+        os.path.join(state, "run=full1", "groups", "*__d*.json")
+    )
+    assert victims
+    for v in victims:
+        os.remove(v)
+
+    append_batch(spark, path)
+    got = CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt",
+        base_run_id="full1",
+    ).run()
+    # per-domain isolation: the broken domain surfaces as exception
+    # EVRs naming the missing state, other domains stay green
+    bad = [
+        e for e in got.results
+        if e.expectation_config.kwargs.get("row_condition")
+    ]
+    assert bad and all(
+        e.exception_info.get("raised_exception") for e in bad
+    )
+    assert any(
+        "no group state" in str(e.exception_info) for e in bad
+    )
+    ok = [
+        e for e in got.results
+        if not e.expectation_config.kwargs.get("row_condition")
+    ]
+    assert ok and all(e.result for e in ok)
+
+
+def test_result_meta_carries_slim_pin(spark, tmp_path):
+    """result.json meta embeds fingerprint + file COUNTS, never the
+    file listing — at 10^6-file scale the verbatim pin would bloat
+    every stored result and degrade URN resolution, which json-loads
+    each run's result.json."""
+    import json as _json
+    import os
+
+    path = write_base(spark, tmp_path)
+    state = str(tmp_path / "state")
+    CheckpointRunner(
+        spark, path, the_suite(), state, "full1", group_col="fmt"
+    ).run()
+    append_batch(spark, path)
+    got = CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt",
+        base_run_id="full1",
+    ).run()
+
+    for run_id in ("full1", "incr1"):
+        with open(
+            os.path.join(state, f"run={run_id}", "result.json")
+        ) as f:
+            meta = _json.load(f)["meta"]
+        assert "files" not in meta["batch"]
+        assert "delta_files" not in meta["batch"]
+        assert meta["batch"]["files_count"] > 0
+        assert meta["batch"]["fingerprint"]
+        # the full manifest still lives in batch.json (the pin file)
+        with open(
+            os.path.join(state, f"run={run_id}", "batch.json")
+        ) as f:
+            pin = _json.load(f)
+        assert len(pin["files"]) == meta["batch"]["files_count"]
+    assert got.meta["batch"]["delta_files_count"] > 0

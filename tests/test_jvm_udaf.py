@@ -55,8 +55,9 @@ _CHILD = textwrap.dedent(
         ]
 
     jvm = run()
-    used_jvm = sp._JVM_UDAF_AVAILABLE.get(id(spark))
-    sp._JVM_UDAF_AVAILABLE[id(spark)] = False  # force fallback
+    key = sp._session_key(spark)
+    used_jvm = sp._JVM_UDAF_AVAILABLE.get(key)
+    sp._JVM_UDAF_AVAILABLE[key] = False  # force fallback
     fb = run()
     print(json.dumps({
         "used_jvm": used_jvm,
@@ -106,11 +107,11 @@ def test_no_jar_probe_is_silent_and_memoized(spark):
 
     from great_expectations_spark.plans import single_pass as sp
 
-    sp._JVM_UDAF_AVAILABLE.pop(id(spark), None)
+    sp._JVM_UDAF_AVAILABLE.pop(sp._session_key(spark), None)
     expr = sp.violation_collect_expr(
         spark, F.col("v") > 1, F.col("v").cast("string"), 5, "s"
     )
-    assert sp._JVM_UDAF_AVAILABLE.get(id(spark)) is False
+    assert sp._JVM_UDAF_AVAILABLE.get(sp._session_key(spark)) is False
     df = spark.createDataFrame([(i,) for i in range(10)], "v int")
     row = df.groupBy().agg(expr).first()
     assert row["s"] == [str(i) for i in range(2, 7)]

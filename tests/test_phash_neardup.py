@@ -180,3 +180,22 @@ def test_multiprobe_dominates_single_probe(spark):
         .collect()
     )
     assert all(r.nl <= 2 for r in probes)
+
+
+def test_ann_recall_accounting(spark):
+    """ann_recall is the ANN family's no-silent-caps mirror: one row
+    per method with measured recall@3 vs the exact baseline.
+    Multi-probe recall must dominate single-probe (it scans a
+    superset of buckets), and every recall is a valid proportion
+    backed by consistent counts."""
+    sf = "/root/testdata/sf0.001"
+    rows = {r.method: r for r in sq.ann_recall(spark, sf).collect()}
+    assert set(rows) == {"ivf", "multiprobe", "kmeans"}
+    for r in rows.values():
+        assert 0.0 <= r.recall <= 1.0
+        assert r.hits <= r.returned
+        assert r.hits <= r.exact_neighbors
+        assert r.recall == pytest.approx(
+            r.hits / r.exact_neighbors, abs=1e-4
+        )
+    assert rows["multiprobe"].recall >= rows["ivf"].recall - 1e-9

@@ -102,3 +102,13 @@ def test_cardinality_by_hour_prunes_to_two_columns(spark):
     assert "ReadSchema: struct<ts:timestamp" in txt
     assert "user_id:bigint" in txt
     assert "props" not in txt and "value" not in txt.split("ReadSchema")[1]
+
+
+def test_simhash_hashes_each_token_once(spark):
+    """dedup_simhash's optimized plan contains exactly ONE md5: the
+    token hash is projected to an int array before the 16 bit votes.
+    Inlining the hash into each vote (the pre-r4 shape) shows up here
+    as 16 md5 occurrences."""
+    df = sq.dedup_simhash(spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("md5") == 1, plan

@@ -273,3 +273,38 @@ def test_profile_table_approximate_allnull_numeric(spark):
     b = profile_table(df, head_rows=0, approximate=True)
     assert "partition" not in b["columns"]["dead"]
     assert b["columns"]["dead"]["nonnull"] == 0
+
+
+def test_profile_table_approximate_nanosecond_epoch_lattice(spark):
+    """Exclusive interior ranks must survive huge-magnitude lattice
+    columns: at nanosecond-epoch scale (~1.7e18) a relative offset
+    like spacing*1e-6 rounds back to the edge in float64, silently
+    turning interior ranks inclusive and shifting every point mass
+    one bin. math.nextafter(e, -inf) keeps them exclusive, so a
+    column whose mass sits EXACTLY on bin edges partitions with
+    weights matching the exact value frequencies."""
+    from great_expectations_spark.profile import profile_table
+
+    base = 1_700_000_000_000_000_000  # ns epoch
+    # 0.1s spacing: ulp(1.7e18) = 256, so the old relative offset
+    # spacing*1e-6 = 100 < ulp/2 rounds back onto the edge —
+    # exactly the silent-inclusive regime the fix targets
+    step = 100_000_000
+    # lattice: 4 distinct timestamps with known frequencies
+    vals = (
+        [base] * 10
+        + [base + step] * 20
+        + [base + 2 * step] * 30
+        + [base + 3 * step] * 40
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "ts_ns long")
+    prof = profile_table(df, head_rows=0, approximate=True)
+    pa = prof["columns"]["ts_ns"]["partition"]
+    assert abs(sum(pa["weights"]) - 1.0) < 1e-9
+    assert pa["bins"] == [float(base + i * step) for i in range(4)]
+    # bins are [lo, hi) with an inclusive final bin; with inclusive
+    # interior ranks the first bin would absorb the next edge's
+    # point mass (0.3 instead of 0.1). KLL is exact at this tiny n.
+    assert pa["weights"][0] == pytest.approx(0.1, abs=0.02)
+    assert pa["weights"][1] == pytest.approx(0.2, abs=0.02)
+    assert pa["weights"][-1] == pytest.approx(0.7, abs=0.02)

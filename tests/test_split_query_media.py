@@ -271,3 +271,26 @@ def test_image_features_vectorized_equivalence(spark):
         assert (got_ph is pd.NA and want_ph is None) or int(
             got_ph
         ) == want_ph, i
+
+
+def test_query_template_reserved_keys_rejected(spark):
+    """template_dict supplying {active_batch}/{batch} must raise a
+    clear ValueError (they always bind to the validated batch view),
+    not format()'s opaque 'multiple values for keyword' TypeError."""
+    import pytest
+
+    from great_expectations_spark.operators.query import _run_query
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with pytest.raises(ValueError, match="reserved"):
+        _run_query(
+            df,
+            "SELECT * FROM {active_batch}",
+            template_dict={"active_batch": "other_table"},
+        )
+    with pytest.raises(ValueError, match="reserved"):
+        _run_query(
+            df,
+            "SELECT * FROM {batch}",
+            template_dict={"batch": "other_table"},
+        )
