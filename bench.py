@@ -457,10 +457,25 @@ def _engine_fingerprint() -> str:
         f"levels={SCALE_LEVELS}|rows={IMG_ROWS}|gc={GC_OPTS}|"
         f"mem={DRIVER_MEM}|arrow={ARROW_BATCH}|"
         f"spc={os.environ.get('SPARK_GRAFT_SPLITS_PER_CORE', '6')}|"
-        f"jar={bool(_ensure_udaf_jar())}"
+        f"jar={bool(_ensure_udaf_jar())}|host={_host_id()}"
     )
     h.update(knobs.encode())
     return h.hexdigest()[:16]
+
+
+def _host_id() -> str:
+    """Stable identity of THIS machine, folded into the fingerprint:
+    pairs measured on one box must never headline a run on another
+    (a clone on a different/reimaged host would otherwise inherit
+    the old host's pairs and calibration wholesale)."""
+    try:
+        with open("/etc/machine-id") as f:
+            mid = f.read().strip()
+    except OSError:
+        mid = ""
+    import platform
+
+    return f"{mid or platform.node()}/{os.cpu_count()}"
 
 
 def _load_stored_pairs(fingerprint: str) -> list:
@@ -479,29 +494,47 @@ def _load_stored_pairs(fingerprint: str) -> list:
 
 def _append_stored_pairs(fingerprint: str, new_pairs: list) -> int:
     """Append this run's pairs under the fingerprint (resetting the
-    store if the engine changed). Returns total stored pairs."""
-    existing = _load_stored_pairs(fingerprint)
+    store if the engine changed). Returns total stored pairs. The
+    read-modify-write runs under an exclusive flock so a --scale-only
+    run and a full bench finishing together cannot overwrite each
+    other's banked pairs."""
     keep_keys = (
         "lo_sec", "hi_sec", "efficiency", "steal_jiffies", "probe_s",
         "measured_at",
     )
-    slim = [
-        {k: p[k] for k in keep_keys if k in p} for p in new_pairs
-    ]
-    for p in existing:
-        p.pop("from_store", None)
-    merged = [
-        {k: p[k] for k in keep_keys if k in p} for p in existing
-    ] + slim
     try:
-        with open(_PAIR_STORE_PATH, "w") as f:
-            json.dump(
-                {"fingerprint": fingerprint, "pairs": merged}, f,
-                indent=1,
-            )
+        import fcntl
+
+        lock_path = _PAIR_STORE_PATH + ".lock"
+        with open(lock_path, "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            existing = _load_stored_pairs(fingerprint)
+            merged = [
+                {k: p[k] for k in keep_keys if k in p}
+                for p in existing + new_pairs
+            ]
+            tmp = _PAIR_STORE_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {"fingerprint": fingerprint, "pairs": merged}, f,
+                    indent=1,
+                )
+            os.replace(tmp, _PAIR_STORE_PATH)
     except OSError:
-        pass
+        return len(new_pairs)
     return len(merged)
+
+
+def _is_quiet(pair: dict, probe_best: float) -> bool:
+    """THE quiet-window predicate: low hypervisor steal AND the
+    direct core probe within 20% of the calibrated best. Every
+    consumer — the extension stopping rule, stored-pair gating, the
+    headline basis — must use this one definition or the pooling
+    claim ("same gates for stored and fresh pairs") silently breaks."""
+    return (
+        pair["steal_jiffies"] < 500
+        and pair["probe_s"] <= 1.2 * probe_best
+    )
 
 
 def _wait_for_quiet_window(
@@ -581,10 +614,7 @@ def run_scaling(levels, repeats: int, stored_quiet: int = 0) -> dict:
         if stored_quiet > 0:
             return True
         best = min([probe_best] + [p["probe_s"] for p in pairs])
-        return any(
-            p["steal_jiffies"] < 500 and p["probe_s"] <= 1.2 * best
-            for p in pairs
-        )
+        return any(_is_quiet(p, best) for p in pairs)
 
     while rounds == 0 or (
         # A minimum of TWO rounds always runs — a one-pair artifact
@@ -717,11 +747,7 @@ def main() -> None:
     stored_best = min(
         [calib_best] + [p["probe_s"] for p in stored]
     )
-    stored_quiet = sum(
-        1
-        for p in stored
-        if p["steal_jiffies"] < 500 and p["probe_s"] <= 1.2 * stored_best
-    )
+    stored_quiet = sum(1 for p in stored if _is_quiet(p, stored_best))
     steal0 = _read_steal()
     scal = run_scaling(
         [n_lo, n_hi], SCALE_REPEATS, stored_quiet=stored_quiet
@@ -757,10 +783,7 @@ def main() -> None:
         # .bench_probe_calibration.json) — steal alone under-reports
         # same-host neighbor load, which skews the pair one-sidedly
         # (a 2-thread run shrugs it off, an 8-thread run eats it)
-        pr["quiet_window"] = (
-            pr["steal_jiffies"] < 500
-            and pr["probe_s"] <= 1.2 * probe_best
-        )
+        pr["quiet_window"] = _is_quiet(pr, probe_best)
     valid = [
         pr
         for pr in pairs

@@ -95,6 +95,11 @@ def run_validations(
         finally:
             if sc is not None:
                 sc.setLocalProperty("spark.scheduler.pool", None)
+                # clear the job group too — half-cleaned thread-local
+                # state would attribute (and expose to cancelJobGroup)
+                # a later thread-reuser's jobs under this slot's id
+                sc.setLocalProperty("spark.jobGroup.id", None)
+                sc.setLocalProperty("spark.job.description", None)
 
     results: List[Optional[Any]] = [None] * len(validations)
     with ThreadPoolExecutor(

@@ -468,13 +468,22 @@ class CheckpointRunner:
             # SAME domains, so zero matching state files means the
             # domain failed (or was never executed) in the base —
             # inheriting nothing would silently pass off delta-only
-            # stats as full-table results for this domain
-            raise RuntimeError(
-                f"base run {self.base_run_id!r} has no group state "
-                f"for domain tag {tag or '<no row_condition>'!r}; "
-                "the domain did not complete in the base — run a "
-                "full (non-incremental) checkpoint"
-            )
+            # stats as full-table results for this domain. One
+            # legitimate zero-file case exists: a grouped base over an
+            # EMPTY table enumerates zero groups (groups_total == 0,
+            # green), and inheriting zero rows is then exactly right
+            # (delta == full table).
+            with open(
+                os.path.join(self._base_dir(), "result.json")
+            ) as f:
+                base_meta = json.load(f).get("meta") or {}
+            if base_meta.get("groups_total", -1) != 0:
+                raise RuntimeError(
+                    f"base run {self.base_run_id!r} has no group state "
+                    f"for domain tag {tag or '<no row_condition>'!r}; "
+                    "the domain did not complete in the base — run a "
+                    "full (non-incremental) checkpoint"
+                )
         state = {
             "group": "__inherited",
             "tag": tag,
@@ -687,7 +696,15 @@ class CheckpointRunner:
                 n_parts=n_parts,
             )
 
-        if to_compute:
+        if to_compute and self.max_concurrent_groups == 1:
+            # inline path FAILS FAST: the first group error aborts the
+            # domain immediately (the pool path below would complete
+            # every remaining group's scan before raising — on a
+            # persistent storage error that is N-1 doomed full scans)
+            for gi in to_compute:
+                state_by_group[gi] = _compute(gi)()
+                computed += 1
+        elif to_compute:
             from .concurrent import run_validations
 
             outs = run_validations(

@@ -1331,15 +1331,10 @@ def dedup_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hexval_sql(expr: str, dialect: str) -> str:
-    """int value of 4 hex chars of md5(token); shared arithmetic,
-    dialect-specific strpos/instr."""
-    pos = "strpos" if dialect == "duck" else "instr"
-    parts = [
-        f"({pos}('0123456789abcdef', substr(md5({expr}), {k}, 1)) - 1)"
-        f" * {16 ** (3 - i)}"
-        for i, k in enumerate(range(1, 5))
-    ]
-    return "(" + " + ".join(parts) + ")"
+    """int value of the first 4 hex chars of md5(token); delegates
+    the hex-digit arithmetic to _hexval_sql_raw (positions 1-4 of
+    the full md5 string ARE its 4-char prefix)."""
+    return _hexval_sql_raw(f"md5({expr})", dialect)
 
 
 def _token_hash_sql(dialect: str) -> str:
@@ -2426,10 +2421,16 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     underlying queries already do. At 100 TB this runs on a sampled
     query set exactly as here (10 queries), so cost is bounded by the
     ANN probes themselves."""
+    # the exact baseline feeds TWO plan branches (the hit join and
+    # the denominator agg); localCheckpoint it so the brute-force
+    # corpus crossJoin executes once, not once per branch (the same
+    # single-execution pattern as _cluster_keep_table). It is tiny:
+    # queries x k rows.
     exact3 = (
         embedding_cosine_topk(spark, sf_dir)
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        .localCheckpoint()
     )
     methods = [
         ("ivf", ann_ivf_topk),

@@ -386,3 +386,61 @@ def test_result_meta_carries_slim_pin(spark, tmp_path):
             pin = _json.load(f)
         assert len(pin["files"]) == meta["batch"]["files_count"]
     assert got.meta["batch"]["delta_files_count"] > 0
+
+
+def test_empty_grouped_base_inherits_zero_rows(spark, tmp_path):
+    """A grouped base over an EMPTY table enumerates zero groups and
+    writes zero state files while completing green — an incremental
+    run on it must inherit zero rows (delta == full table), not be
+    rejected by the missing-state guard."""
+    import pyspark.sql.functions as F  # noqa: F401
+
+    path = str(tmp_path / "images")
+    # unpartitioned layout: an empty partitionBy write emits no data
+    # files at all (unreadable), while this writes one zero-row file
+    # with schema — the realistic empty-snapshot shape
+    empty = images_df(spark, n_rows=100, seed=1).limit(0)
+    empty.repartition(1).write.parquet(path)
+    state = str(tmp_path / "state")
+    base = CheckpointRunner(
+        spark, path, the_suite(), state, "empty0", group_col="fmt"
+    ).run()
+    assert base.meta["groups_total"] == 0
+    assert base.meta["groups_failed"] == 0
+
+    images_df(spark, n_rows=400, seed=3).write.mode("append").parquet(
+        path
+    )
+    got = CheckpointRunner(
+        spark, path, the_suite(), state, "incr1", group_col="fmt",
+        base_run_id="empty0",
+    ).run()
+    expected = CheckpointRunner(
+        spark, path, the_suite(), state, "fullref", group_col="fmt"
+    ).run()
+    assert_same_results(expected, got)
+
+
+def test_sequential_group_failure_fails_fast(spark, tmp_path, monkeypatch):
+    """With the default max_concurrent_groups=1, the FIRST group
+    error aborts the domain — later groups are never scanned (the
+    pre-r4 inline behavior, preserved alongside the pool path)."""
+    from great_expectations_spark.checkpoint import runner as runner_mod
+
+    path = write_base(spark, tmp_path)
+    state = str(tmp_path / "state")
+    calls = {"n": 0}
+
+    def boom(self, *a, **k):
+        calls["n"] += 1
+        raise RuntimeError("storage down")
+
+    monkeypatch.setattr(runner_mod.CheckpointRunner, "_run_group", boom)
+    res = CheckpointRunner(
+        spark, path, the_suite(), state, "r1", group_col="fmt"
+    ).run()
+    # per-domain isolation still yields exception EVRs...
+    assert not res.success
+    # ...but each domain attempted exactly ONE group before aborting
+    n_domains = 2  # the suite has one row_condition domain + default
+    assert calls["n"] == n_domains, calls["n"]
