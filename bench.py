@@ -562,7 +562,7 @@ def _wait_for_quiet_window(
         waited += step
 
 
-def run_scaling(levels, repeats: int, stored_quiet: int = 0) -> dict:
+def run_scaling(levels, repeats: int, stored_pairs=()) -> dict:
     """PAIRED interleaved sampling: each round runs a fresh-process
     session at the low level immediately followed by one at the high
     level, yielding one (lo, hi) pair measured in the same host-
@@ -603,18 +603,32 @@ def run_scaling(levels, repeats: int, stored_quiet: int = 0) -> dict:
     t_start = time.time()
     probe_best = _load_probe_best()
 
+    def pooled_best():
+        # ONE reference for quietness everywhere: min over the
+        # calibration sidecar, the STORED pairs' probes, and this
+        # run's probes — identical to what main()'s headline gate
+        # computes, so the stopping rule can never skip the wait on
+        # a stored pair the final gate will then reject (a fresh
+        # probe finding a new lowest tightens BOTH consistently).
+        return min(
+            [probe_best]
+            + [p["probe_s"] for p in stored_pairs]
+            + [p["probe_s"] for p in pairs]
+        )
+
     def any_quiet_round():
         # quiet = low hypervisor steal AND the direct core probe ran
-        # within 20% of the best window ever calibrated on this box
-        # (min over the sidecar file and this run — both confounder
-        # measurements, never the suite timings). Pairs already
-        # accumulated in the sidecar store count: the extension
-        # exists to secure at least one quiet pair for the artifact,
-        # not to re-measure what prior invocations banked.
-        if stored_quiet > 0:
-            return True
-        best = min([probe_best] + [p["probe_s"] for p in pairs])
-        return any(_is_quiet(p, best) for p in pairs)
+        # within 20% of the pooled best (confounder measurements
+        # only, never suite timings). Stored pairs count: the
+        # extension exists to secure at least one quiet pair for the
+        # artifact, not to re-measure what prior invocations banked —
+        # and they are judged by the SAME predicate and reference as
+        # the final headline gate.
+        best = pooled_best()
+        return any(
+            _is_quiet(p, best)
+            for p in list(stored_pairs) + pairs
+        )
 
     while rounds == 0 or (
         # A minimum of TWO rounds always runs — a one-pair artifact
@@ -647,7 +661,7 @@ def run_scaling(levels, repeats: int, stored_quiet: int = 0) -> dict:
         if not any_quiet_round():
             probe_pre = _wait_for_quiet_window(
                 t_start + SCALE_BUDGET_S,
-                min([probe_best] + [p["probe_s"] for p in pairs]),
+                pooled_best(),
                 max_wait_s=float(
                     os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "150")
                 ),
@@ -683,7 +697,10 @@ def run_scaling(levels, repeats: int, stored_quiet: int = 0) -> dict:
         )
         rounds += 1
     results = {"pairs": pairs}
-    best = min([probe_best] + [p["probe_s"] for p in pairs])
+    # the returned reference is the POOLED best (calibration + stored
+    # + fresh) — main()'s headline gate and this loop's stopping rule
+    # therefore judge every pair against the same number
+    best = pooled_best()
     if best < probe_best:
         _save_probe_best(best)
     results["probe_best_s"] = round(best, 4)
@@ -743,15 +760,8 @@ def main() -> None:
     n_lo, n_hi = SCALE_LEVELS
     fingerprint = _engine_fingerprint()
     stored = _load_stored_pairs(fingerprint)
-    calib_best = _load_probe_best()
-    stored_best = min(
-        [calib_best] + [p["probe_s"] for p in stored]
-    )
-    stored_quiet = sum(1 for p in stored if _is_quiet(p, stored_best))
     steal0 = _read_steal()
-    scal = run_scaling(
-        [n_lo, n_hi], SCALE_REPEATS, stored_quiet=stored_quiet
-    )
+    scal = run_scaling([n_lo, n_hi], SCALE_REPEATS, stored_pairs=stored)
     steal_jiffies = _read_steal() - steal0
     low, high = scal[n_lo], scal[n_hi]
     fresh_pairs = scal["pairs"]
@@ -914,7 +924,12 @@ if __name__ == "__main__":
             spark.stop()
         fp = _engine_fingerprint()
         prior = _load_stored_pairs(fp)
-        scal = run_scaling(list(SCALE_LEVELS), SCALE_REPEATS)
+        # same measurement path as main(): banked quiet pairs disable
+        # the wait/extension machinery, so accumulation runs in hours
+        # the store already covered just bank cheap extra pairs
+        scal = run_scaling(
+            list(SCALE_LEVELS), SCALE_REPEATS, stored_pairs=prior
+        )
         total_stored = _append_stored_pairs(fp, scal["pairs"])
         print(json.dumps({
             "mode": "scale-only",

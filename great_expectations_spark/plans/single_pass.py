@@ -364,6 +364,10 @@ def _jvm_capped_collect(spark, col: Column, cap: int) -> Optional[Column]:
     if spark is None:
         return None
     key = _session_key(spark)
+    # NEVER memoize under the no-context fallback key: it embeds
+    # id(spark), and a recycled address would hand a later session a
+    # stale verdict — the exact corruption applicationId keying fixed
+    memoize = not key.startswith("__no_context_")
     if _JVM_UDAF_AVAILABLE.get(key) is False:
         return None
     jvm = spark._jvm
@@ -382,9 +386,11 @@ def _jvm_capped_collect(spark, col: Column, cap: int) -> Optional[Column]:
             )
             jcol = m.invoke(None, col._jc, cap)
         except Exception:  # noqa: BLE001 - jar absent: use fallback
-            _JVM_UDAF_AVAILABLE[key] = False
+            if memoize:
+                _JVM_UDAF_AVAILABLE[key] = False
             return None
-    _JVM_UDAF_AVAILABLE[key] = True
+    if memoize:
+        _JVM_UDAF_AVAILABLE[key] = True
     return Column(jcol)
 
 
