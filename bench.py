@@ -94,6 +94,8 @@ HEADLINE = [
     "phash_clusters",
     "text_quality_scores",
     "token_count_by_source",
+    "source_mix_sample",
+    "seq_packing_stats",
     "doc_repetition_scores",
     "ngram_contamination",
     "split_fingerprint_overlap",

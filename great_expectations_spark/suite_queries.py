@@ -3040,6 +3040,168 @@ def split_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- training-mix construction ----------------------------------------------
+# The composition step of a pretraining pipeline: deterministic
+# per-source sampling toward a target mix, and greedy packing of
+# documents into fixed-length context windows. Both are pure
+# expression pipelines (one scan, hash aggs, no Python).
+
+_SOURCE_MIX_DUCK = f"""
+    SELECT source,
+           round(min(rate_bp) / 10000.0, 4) AS target_rate,
+           CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(sum(CASE WHEN dv < rate_bp THEN 1 ELSE 0 END) AS BIGINT)
+             AS sampled_docs,
+           round(sum(CASE WHEN dv < rate_bp THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS achieved_rate
+    FROM (
+      SELECT source,
+             {_hexval_sql_raw("sh", "duck")} % 5000 + 2500 AS rate_bp,
+             {_hexval_sql_raw("dh", "duck")} % 10000 AS dv
+      FROM (
+        SELECT source,
+               substr(md5(source), 1, 4) AS sh,
+               substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS dh
+        FROM documents
+      )
+    )
+    GROUP BY source
+"""
+
+
+@register("source_mix_sample", _SOURCE_MIX_DUCK)
+def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted source mixing — the step that turns a
+    raw corpus into a training mix with target per-source rates.
+
+    Each source's target rate is derived from md5(source) (basis
+    points in [2500, 7500)), and a document is kept when the 16-bit
+    value of md5(doc_id)'s prefix falls under it: content-addressed
+    Bernoulli sampling, so the SAME rows are selected on every run,
+    every engine, and every cluster size — no RNG state to
+    coordinate across executors. Reports achieved vs target rate per
+    source (the no-silent-caps accounting for the sampler itself).
+
+    100 TB shape: one column-pruned scan; both hashes are projected
+    ONCE and the 16-bit arithmetic reads the projected prefix (the
+    dedup_simhash lesson: Spark does not CSE md5 across expression
+    bodies). Map-side-partial hash agg on ~|sources| keys — nothing
+    else crosses the wire. The reference's md5 sampler
+    (execution_engine/split_and_sample/sparkdf_data_sampler.py:
+    sample_using_md5) hashes row-by-row with a Python UDF; this is
+    the same contract, JVM-side."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.substring(F.md5(F.col("source")), 1, 4).alias("sh"),
+        F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 4
+        ).alias("dh"),
+    )
+    lv = d.select(
+        "source",
+        (F.expr(_hexval_sql_raw("sh", "spark")) % 5000 + 2500).alias(
+            "rate_bp"
+        ),
+        (F.expr(_hexval_sql_raw("dh", "spark")) % 10000).alias("dv"),
+    )
+    kept = F.sum(F.when(F.col("dv") < F.col("rate_bp"), 1).otherwise(0))
+    return lv.groupBy("source").agg(
+        F.round(F.min("rate_bp") / 10000.0, 4).alias("target_rate"),
+        F.count(F.lit(1)).alias("total_docs"),
+        kept.cast("bigint").alias("sampled_docs"),
+        F.round(kept / F.count(F.lit(1)), 4).alias("achieved_rate"),
+    )
+
+
+_PACK_CTX = 512
+_PACK_SHARDS = 8
+
+_SEQ_PACKING_DUCK = f"""
+    SELECT source,
+           CAST(sum(docs) AS BIGINT) AS total_docs,
+           CAST(sum(tok) AS BIGINT) AS total_tokens,
+           CAST(sum(bins) AS BIGINT) AS n_bins,
+           round(sum(tok) * 1.0 / (sum(bins) * {_PACK_CTX}), 4)
+             AS fill_ratio,
+           CAST(sum(span) AS BIGINT) AS spanning_docs
+    FROM (
+      SELECT source, shard,
+             count(*) AS docs,
+             sum(tokens) AS tok,
+             CAST(ceil(sum(tokens) * 1.0 / {_PACK_CTX}) AS BIGINT)
+               AS bins,
+             sum(CASE WHEN (cum - tokens) // {_PACK_CTX}
+                        != (cum - 1) // {_PACK_CTX}
+                      THEN 1 ELSE 0 END) AS span
+      FROM (
+        SELECT source, shard, tokens,
+               sum(tokens) OVER (
+                 PARTITION BY source, shard ORDER BY doc_id
+               ) AS cum
+        FROM (
+          SELECT source, doc_id, doc_id % {_PACK_SHARDS} AS shard,
+                 len(string_split(text, ' ')) AS tokens
+          FROM documents
+        )
+      )
+      GROUP BY source, shard
+    )
+    GROUP BY source
+"""
+
+
+@register("seq_packing_stats", _SEQ_PACKING_DUCK)
+def seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing accounting: documents are concatenated
+    in doc_id order into fixed 512-token context windows; the report
+    says how many windows each source fills, the fill ratio (token
+    utilization), and how many documents straddle a window boundary
+    (candidates for truncation or attention-mask segmentation
+    downstream).
+
+    Packing is per (source, doc_id % 8) shard — exactly how a
+    distributed packer bounds its window-partition size: a single
+    per-source ordering would serialize each source through one task
+    at corpus scale, while deterministic shards keep the window
+    partitions parallel AND reproducible (same bins on any cluster
+    size). 100 TB shape: one scan, per-shard window cumsum (running
+    sum over bounded partitions), then two levels of
+    map-side-partial hash agg."""
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(_PACK_SHARDS)).alias("shard"),
+        F.size(F.split(F.col("text"), " ")).alias("tokens"),
+    )
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    cum = d.select(
+        "source",
+        "shard",
+        "tokens",
+        F.sum("tokens").over(w).alias("cum"),
+    )
+    span = F.floor(
+        (F.col("cum") - F.col("tokens")) / _PACK_CTX
+    ) != F.floor((F.col("cum") - 1) / _PACK_CTX)
+    per_shard = cum.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("tokens").alias("tok"),
+        F.ceil(F.sum("tokens") / F.lit(float(_PACK_CTX)))
+        .cast("bigint")
+        .alias("bins"),
+        F.sum(span.cast("int")).alias("span"),
+    )
+    return per_shard.groupBy("source").agg(
+        F.sum("docs").cast("bigint").alias("total_docs"),
+        F.sum("tok").cast("bigint").alias("total_tokens"),
+        F.sum("bins").cast("bigint").alias("n_bins"),
+        F.round(
+            F.sum("tok") / (F.sum("bins") * _PACK_CTX), 4
+        ).alias("fill_ratio"),
+        F.sum("span").cast("bigint").alias("spanning_docs"),
+    )
+
+
 # =============================================================================
 # 10. Windowed / ordered operators over the events stream table —
 #     rollups, sessionization, grouped top-k (SURVEY.md §2.2 window
