@@ -2425,9 +2425,16 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the denominator agg); localCheckpoint it so the brute-force
     # corpus crossJoin executes once, not once per branch (the same
     # single-execution pattern as _cluster_keep_table). It is tiny:
-    # queries x k rows.
+    # queries x k rows. In pipeline mode every audited pipeline comes
+    # through _shared_stage — an accounting query must never
+    # recompute the pipelines it audits (the hot_buckets/band_stats
+    # convention); standalone oracle runs keep the self-contained
+    # recompute.
     exact3 = (
-        embedding_cosine_topk(spark, sf_dir)
+        _shared_stage(
+            "emb_topk", spark, sf_dir,
+            lambda: embedding_cosine_topk(spark, sf_dir),
+        )
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
         .localCheckpoint()
@@ -2439,7 +2446,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     un = None
     for name, fn in methods:
-        d = fn(spark, sf_dir).select(
+        d = _shared_stage(
+            f"ann_{name}", spark, sf_dir,
+            lambda fn=fn: fn(spark, sf_dir),
+        ).select(
             F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
         un = d if un is None else un.unionByName(d)
