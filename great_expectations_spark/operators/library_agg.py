@@ -374,6 +374,65 @@ def compile_most_common_value_in_set(index, cfg, schema):
     return JobCheck(index=index, config=cfg, run=run)
 
 
+def compile_value_share_match_targets(index, cfg, schema):
+    """expect_column_value_share_to_match_targets: each tracked
+    value's share of non-null rows must sit within ``tolerance`` of
+    its target proportion — the composition gate on a training mix
+    (the declarative face of the source_mix_sample pipeline,
+    suite_queries.py). No reference counterpart (closest:
+    expect_column_most_common_value_to_be_in_set); extension.
+
+    kwargs: column, targets (dict value -> proportion in [0, 1]),
+    tolerance (absolute, default 0.05), require_tracked_values
+    (default True: a target value absent from the data fails; False
+    treats it as share 0.0 and checks the tolerance anyway — same
+    arithmetic, explicit intent).
+
+    Rides the cached value_counts metric, so fused in a suite with
+    other value_counts consumers it costs ZERO extra jobs; standalone
+    it is one map-side-partial hash agg on the mix column."""
+    column = cfg.kwargs["column"]
+    targets = dict(cfg.kwargs.get("targets") or {})
+    tolerance = float(cfg.kwargs.get("tolerance", 0.05))
+    require_tracked = bool(cfg.kwargs.get("require_tracked_values", True))
+    if not targets:
+        raise ValueError(
+            "expect_column_value_share_to_match_targets requires a "
+            "non-empty `targets` dict of value -> proportion"
+        )
+
+    def run(df, stats, cache: MetricCache):
+        vc = dict(cache.value_counts(column))
+        total = sum(vc.values())
+        if total == 0:
+            return False, {
+                "observed_value": {},
+                "details": {"element_count": 0},
+            }
+        shares = {
+            str(v): round(vc.get(v, 0) / total, 6) for v in targets
+        }
+        deviations = {
+            str(v): abs(vc.get(v, 0) / total - float(t))
+            for v, t in targets.items()
+        }
+        missing = [str(v) for v in targets if v not in vc]
+        success = all(d <= tolerance for d in deviations.values()) and (
+            not (require_tracked and missing)
+        )
+        return success, {
+            "observed_value": shares,
+            "details": {
+                "max_abs_deviation": round(max(deviations.values()), 6),
+                "tolerance": tolerance,
+                "missing_values": missing,
+                "element_count": total,
+            },
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
 def compile_row_count_equal_other_table(index, cfg, schema):
     """Compare two batches' counts
     (expect_table_row_count_to_equal_other_table.py). The other table
@@ -544,6 +603,7 @@ AGG_COMPILERS = {
     "expect_column_distinct_values_to_contain_set": compile_distinct_contain_set,
     "expect_column_distinct_values_to_equal_set": compile_distinct_equal_set,
     "expect_column_most_common_value_to_be_in_set": compile_most_common_value_in_set,
+    "expect_column_value_share_to_match_targets": compile_value_share_match_targets,
     "expect_table_row_count_to_equal_other_table": compile_row_count_equal_other_table,
     "expect_column_to_exist": compile_column_to_exist,
     "expect_table_columns_to_match_ordered_list": compile_columns_match_ordered_list,

@@ -399,3 +399,51 @@ def test_distinct_overlap_with_reference(spark):
     )
     r2 = ges.validate(big_a, s2, aux_tables={"ref": big_b})
     assert r2.success, r2.results[0].result
+
+
+def test_value_share_match_targets(df, pdf):
+    shares = (pdf["k"].value_counts() / len(pdf)).to_dict()
+    s = ges.suite("mix").expect(
+        "expect_column_value_share_to_match_targets",
+        column="k",
+        targets={k: round(v, 2) for k, v in shares.items()},
+        tolerance=0.02,
+    )
+    res = run_all(df, s)
+    r = res.results[0]
+    assert r.success is True
+    assert r.result["observed_value"] == {
+        k: round(v, 6) for k, v in shares.items()
+    }
+    assert r.result["details"]["max_abs_deviation"] <= 0.02
+
+    # an off-target mix fails, and the deviation is reported
+    bad = ges.suite("mix2").expect(
+        "expect_column_value_share_to_match_targets",
+        column="k",
+        targets={"A": 0.9, "B": 0.05, "C": 0.05},
+        tolerance=0.05,
+    )
+    r2 = run_all(df, bad).results[0]
+    assert r2.success is False
+    assert r2.result["details"]["max_abs_deviation"] > 0.05
+
+    # a tracked value absent from the data: require_tracked_values
+    # gates it, opting out checks the arithmetic on share 0.0
+    missing = ges.suite("mix3").expect(
+        "expect_column_value_share_to_match_targets",
+        column="k",
+        targets={"ZZZ": 0.0},
+        tolerance=0.01,
+    )
+    r3 = run_all(df, missing).results[0]
+    assert r3.success is False
+    assert r3.result["details"]["missing_values"] == ["ZZZ"]
+    lax = ges.suite("mix4").expect(
+        "expect_column_value_share_to_match_targets",
+        column="k",
+        targets={"ZZZ": 0.0},
+        tolerance=0.01,
+        require_tracked_values=False,
+    )
+    assert run_all(df, lax).results[0].success is True
