@@ -251,3 +251,76 @@ def windowed_quantile_stats(
         ],
         breached.alias("breached"),
     )
+
+
+def windowed_mix_stats(
+    stream_df: DataFrame,
+    column: str,
+    targets: Dict[str, float],
+    ts_col: str = "ts",
+    window_len: str = "10 minutes",
+    watermark: str = "5 minutes",
+    slide: Optional[str] = None,
+    tolerance: float = 0.05,
+) -> DataFrame:
+    """Per-event-time-window composition of ``column`` against a
+    target mix — the streaming face of source_mix_sample's
+    accounting and the expect_column_value_share_to_match_targets
+    gate: an upstream source going quiet (or a replay flooding one
+    source) skews the mix long before any value distribution drifts.
+
+    One conditional count per tracked value inside ONE windowed agg
+    (the windowed_psi_drift bin-count shape), so streaming state is
+    O(#open windows x #targets) — grouping by (window, value) would
+    need a second streaming agg for the window total, which
+    Structured Streaming disallows, and per-value state rows besides.
+    The per-value rows are a post-agg inline projection.
+
+    Output (append mode, one row per window x tracked value once the
+    watermark closes the window): window_start, window_end, n,
+    value, share, target, deviation, off_target.
+    """
+    if not targets:
+        raise ValueError("windowed_mix_stats requires a non-empty "
+                         "`targets` dict of value -> proportion")
+    vals = sorted(targets)
+    w = F.window(F.col(ts_col), window_len, slide or window_len)
+    conds = [
+        F.sum(
+            F.when(F.col(column) == F.lit(v), 1).otherwise(0)
+        ).alias(f"__c{i}")
+        for i, v in enumerate(vals)
+    ]
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(w.alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), *conds)
+    )
+    share_rows = F.array(
+        *[
+            F.struct(
+                F.lit(str(v)).alias("value"),
+                (F.col(f"__c{i}") / F.greatest(F.col("n"), F.lit(1)))
+                .alias("share"),
+                F.lit(float(targets[v])).alias("target"),
+            )
+            for i, v in enumerate(vals)
+        ]
+    )
+    rows = agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.col("n"),
+        F.inline(share_rows),
+    )
+    deviation = F.abs(F.col("share") - F.col("target"))
+    return rows.select(
+        "window_start",
+        "window_end",
+        "n",
+        "value",
+        F.round("share", 6).alias("share"),
+        "target",
+        F.round(deviation, 6).alias("deviation"),
+        (deviation > F.lit(float(tolerance))).alias("off_target"),
+    )

@@ -432,3 +432,93 @@ def test_windowed_quantile_breach_stream(spark, tmp_path):
     batch = spark.read.parquet(src + "/f1.parquet")
     lo, hi = batch.approxQuantile("v", [0.45, 0.55], 0.0)
     assert lo <= w1["p50"] <= hi
+
+
+def test_windowed_mix_stream(spark, tmp_path):
+    """Windowed mix monitor: a window where one source floods the
+    stream is flagged off-target for exactly the skewed values; a
+    window matching the target mix is not; shares are exact
+    (conditional counts, no sketch)."""
+    from great_expectations_spark.streaming.windowed_drift import (
+        windowed_mix_stats,
+    )
+
+    src = str(tmp_path / "mixsrc")
+    os.makedirs(src, exist_ok=True)
+
+    def rows(base_ts, sources, seed):
+        import random
+
+        rnd = random.Random(seed)
+        return [
+            (
+                datetime.datetime.fromtimestamp(
+                    base_ts + rnd.uniform(0, 500),
+                    tz=datetime.timezone.utc,
+                ),
+                rnd.choice(sources),
+            )
+            for _ in range(600)
+        ]
+
+    t0 = 1_700_000_400
+    schema = "ts timestamp, source string"
+    balanced = ["web", "web", "books", "code"]  # ~0.5 / 0.25 / 0.25
+    flooded = ["web"] * 19 + ["books"]  # books starves, code vanishes
+    spark.createDataFrame(rows(t0, balanced, 1), schema).write.mode(
+        "overwrite"
+    ).parquet(src + "/f1.parquet")
+    spark.createDataFrame(rows(t0 + 600, flooded, 2), schema).write.mode(
+        "overwrite"
+    ).parquet(src + "/f2.parquet")
+    spark.createDataFrame(
+        [
+            (
+                datetime.datetime.fromtimestamp(
+                    t0 + 1600, tz=datetime.timezone.utc
+                ),
+                "z",
+            )
+        ],
+        schema,
+    ).write.mode("overwrite").parquet(src + "/f3.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*.parquet")
+    )
+    out = windowed_mix_stats(
+        stream,
+        "source",
+        targets={"web": 0.5, "books": 0.25, "code": 0.25},
+        window_len="10 minutes",
+        watermark="5 minutes",
+        tolerance=0.1,
+    )
+    res_path = str(tmp_path / "mixres")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", res_path)
+        .option("checkpointLocation", str(tmp_path / "mixchk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"].timestamp(), r["value"]): r
+        for r in spark.read.parquet(res_path).collect()
+    }
+    # window 1: balanced — every tracked value within tolerance
+    for v in ("web", "books", "code"):
+        r = got[(t0, v)]
+        assert not r["off_target"], (v, r["share"])
+        assert r["n"] == 600
+    # window 2: flooded — all three off target (web over, others under)
+    for v in ("web", "books", "code"):
+        assert got[(t0 + 600, v)]["off_target"], v
+    # shares are exact conditional counts: recompute from the source
+    w2 = spark.read.parquet(src + "/f2.parquet").collect()
+    n_web = sum(1 for r in w2 if r["source"] == "web")
+    assert got[(t0 + 600, "web")]["share"] == round(n_web / len(w2), 6)
