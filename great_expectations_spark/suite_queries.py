@@ -3123,6 +3123,78 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mix_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    targets: Dict[str, float],
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """The production face of source_mix_sample: keep each row iff
+    the 16-bit value of md5(key)'s prefix falls under its group's
+    target rate — content-addressed, so the selected set is identical
+    under retries, speculation, and any cluster size, with zero
+    coordination (no RNG seed schedule, no sampled index). `targets`
+    maps group value -> keep rate in [0, 1]; unlisted groups use
+    `default_rate`. One projection + filter: fully pushed into the
+    scan stage, no shuffle. Validate the result with
+    expect_column_value_share_to_match_targets."""
+    rate = F.lit(float(default_rate))
+    for g, r in targets.items():
+        rate = F.when(
+            F.col(group_col) == F.lit(g), F.lit(float(r))
+        ).otherwise(rate)
+    dv = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10
+    ).cast("long")
+    return df.where(dv < rate * 65536)
+
+
+def pack_assignments(
+    df: DataFrame,
+    id_col: str,
+    tokens_col,
+    group_col: str = "source",
+    ctx: int = 512,
+    shards: int = 8,
+) -> DataFrame:
+    """The production face of seq_packing_stats: per-document packing
+    assignment — which fixed-`ctx`-token window each document starts
+    in, at which token offset, and whether it straddles a window
+    boundary. Windows are packed greedily in `id_col` order within a
+    deterministic (group, id % shards) shard, so assignments are
+    reproducible on any cluster size while no window partition ever
+    serializes a whole group through one task. `tokens_col` is a
+    column name or Column of per-row token counts.
+
+    Output: the input columns plus shard, start_tok (token offset of
+    the document within its shard's stream), bin_id (the window the
+    document starts in, unique within (group, shard)), and
+    spans_boundary. Downstream packers concat documents per
+    (group, shard, bin_id) and split/mask at the boundaries flagged."""
+    tokens = (
+        F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    )
+    base = df.withColumn(
+        "shard", F.pmod(F.col(id_col), F.lit(int(shards)))
+    ).withColumn("__tok", tokens)
+    w = Window.partitionBy(group_col, "shard").orderBy(id_col)
+    cum = F.sum("__tok").over(w)
+    start = cum - F.col("__tok")
+    return (
+        base.withColumn("start_tok", start)
+        .withColumn(
+            "bin_id", F.floor(F.col("start_tok") / F.lit(int(ctx)))
+        )
+        .withColumn(
+            "spans_boundary",
+            F.floor(F.col("start_tok") / F.lit(int(ctx)))
+            != F.floor((cum - 1) / F.lit(int(ctx))),
+        )
+        .drop("__tok")
+    )
+
+
 _PACK_CTX = 512
 _PACK_SHARDS = 8
 

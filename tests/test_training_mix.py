@@ -94,3 +94,73 @@ def test_seq_packing_matches_pandas(spark):
         )
         # a window is never overfilled on paper: utilization <= 1
         assert r["fill_ratio"] <= 1.0
+
+
+def test_mix_sample_rates_and_determinism(spark):
+    import hashlib
+
+    from great_expectations_spark.suite_queries import mix_sample
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    targets = {"src0": 0.2, "src1": 0.8}
+    got = mix_sample(d, "doc_id", "source", targets, default_rate=0.5)
+    rows = got.select("doc_id", "source").collect()
+    # exact recomputation from the definition
+    alld = d.select("doc_id", "source").collect()
+    expect = {
+        r["doc_id"]
+        for r in alld
+        if int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16)
+        < targets.get(r["source"], 0.5) * 65536
+    }
+    assert {r["doc_id"] for r in rows} == expect
+    # stable across invocations (content-addressed)
+    again = {r["doc_id"] for r in mix_sample(
+        d, "doc_id", "source", targets, default_rate=0.5
+    ).select("doc_id").collect()}
+    assert again == expect
+
+
+def test_pack_assignments_consistent_with_stats(spark):
+    from great_expectations_spark import suite_queries as sq
+    from great_expectations_spark.suite_queries import pack_assignments
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    import pyspark.sql.functions as F
+
+    asg = pack_assignments(
+        d,
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")),
+        group_col="source",
+        ctx=sq._PACK_CTX,
+        shards=sq._PACK_SHARDS,
+    )
+    # aggregate of per-doc assignments == the accounting query
+    per_source = {
+        r["source"]: r.asDict()
+        for r in asg.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.col("spans_boundary").cast("int")).alias(
+                "spanning_docs"
+            ),
+        )
+        .collect()
+    }
+    stats = {
+        r["source"]: r.asDict()
+        for r in sq.seq_packing_stats(spark, SF).collect()
+    }
+    assert set(per_source) == set(stats)
+    for src, s in stats.items():
+        assert per_source[src]["total_docs"] == s["total_docs"]
+        assert per_source[src]["spanning_docs"] == s["spanning_docs"]
+    # bin ids are dense from 0 within each (group, shard) stream
+    first_bins = (
+        asg.groupBy("source", "shard").agg(F.min("bin_id").alias("b0"))
+        .collect()
+    )
+    assert all(r["b0"] == 0 for r in first_bins)
