@@ -112,3 +112,30 @@ def test_simhash_hashes_each_token_once(spark):
     df = sq.dedup_simhash(spark, SF)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("md5") == 1, plan
+
+
+def test_source_mix_single_scan_one_exchange(spark):
+    # structural counts from the simple tree (formatted mode repeats
+    # every node in its detail section)
+    tree = plan_of(sq.source_mix_sample(spark, SF))
+    assert tree.count("FileScan") == 1
+    # one partial->final hash agg pair around one exchange
+    assert tree.count("Exchange") == 1
+    assert tree.count("HashAggregate") == 2
+    txt = plan_of(sq.source_mix_sample(spark, SF), "formatted")
+    # only the 2 referenced columns are read
+    assert "ReadSchema: struct<doc_id:bigint,source:string>" in txt
+    # each hash is computed ONCE and the 16-bit arithmetic reads the
+    # projected prefix (the dedup_simhash CSE lesson)
+    assert txt.count("md5(") == 2
+
+
+def test_seq_packing_sharded_window_two_exchanges(spark):
+    tree = plan_of(sq.seq_packing_stats(spark, SF))
+    assert tree.count("FileScan") == 1
+    # one wide exchange on (source, shard) for the window, one tiny
+    # rollup exchange on source; the per-shard agg collapses in place
+    assert tree.count("Exchange") == 2
+    assert "Window" in tree
+    txt = plan_of(sq.seq_packing_stats(spark, SF), "formatted")
+    assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in txt
