@@ -3096,10 +3096,11 @@ def source_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONCE and the 16-bit arithmetic reads the projected prefix (the
     dedup_simhash lesson: Spark does not CSE md5 across expression
     bodies). Map-side-partial hash agg on ~|sources| keys — nothing
-    else crosses the wire. The reference's md5 sampler
+    else crosses the wire. The reference's hash sampler
     (execution_engine/split_and_sample/sparkdf_data_sampler.py:
-    sample_using_md5) hashes row-by-row with a Python UDF; this is
-    the same contract, JVM-side."""
+    142-200 sample_using_hash) hashes row-by-row with a Python UDF
+    (hashlib via F.udf); this is the same contract, JVM-side, with
+    per-group rates instead of a single hash-suffix match."""
     d = _t(spark, sf_dir, "documents").select(
         "source",
         F.substring(F.md5(F.col("source")), 1, 4).alias("sh"),
