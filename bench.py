@@ -439,6 +439,39 @@ _PAIR_STORE_PATH = os.path.join(
 )
 
 
+def _code_digest(path: str) -> bytes:
+    """Digest of a module's RUNTIME-RELEVANT content: the AST with
+    docstrings stripped. Comment/docstring-only edits (citation
+    fixes, doc passes) leave timing behavior untouched, so they must
+    not orphan banked scaling pairs — r4 lost a 9-pair quiet bank to
+    a docstring commit. Any change that survives into the AST
+    (code, literals, decorators, defaults) still rotates the digest.
+    Unparseable files fall back to raw bytes."""
+    import ast
+    import hashlib
+
+    with open(path, "rb") as f:
+        src = f.read()
+    try:
+        tree = ast.parse(src)
+    except (SyntaxError, ValueError):
+        return hashlib.sha256(src).digest()
+    for node in ast.walk(tree):
+        if isinstance(
+            node, (ast.Module, ast.ClassDef, ast.FunctionDef, ast.AsyncFunctionDef)
+        ):
+            body = node.body
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] or [ast.Pass()]
+    dumped = ast.dump(tree, include_attributes=False)
+    return hashlib.sha256(dumped.encode()).digest()
+
+
 def _engine_fingerprint() -> str:
     import hashlib
 
@@ -453,8 +486,7 @@ def _engine_fingerprint() -> str:
     files.append(os.path.abspath(__file__))
     for p in sorted(files):
         h.update(os.path.relpath(p, here).encode())
-        with open(p, "rb") as f:
-            h.update(hashlib.sha256(f.read()).digest())
+        h.update(_code_digest(p))
     knobs = (
         f"levels={SCALE_LEVELS}|rows={IMG_ROWS}|gc={GC_OPTS}|"
         f"mem={DRIVER_MEM}|arrow={ARROW_BATCH}|"

@@ -36,6 +36,40 @@ def test_engine_fingerprint_stable_and_host_bound(monkeypatch):
     assert bench._engine_fingerprint() != fp1
 
 
+def test_code_digest_ignores_docs_not_code(tmp_path):
+    """Doc-only edits must not orphan banked scaling pairs: the
+    per-file digest hashes the docstring-stripped AST, so citation
+    fixes and comment passes keep the fingerprint while any code or
+    literal change rotates it."""
+    a = tmp_path / "a.py"
+    b = tmp_path / "b.py"
+    a.write_text(
+        '"""Module doc v1."""\n'
+        "def f(x):\n"
+        '    """f doc v1."""\n'
+        "    # a comment\n"
+        "    return x + 1\n"
+    )
+    b.write_text(
+        '"""Module doc v2 — reworded citation."""\n'
+        "def f(x):\n"
+        '    """f doc v2."""\n'
+        "    # different comment\n"
+        "    return x + 1\n"
+    )
+    assert bench._code_digest(str(a)) == bench._code_digest(str(b))
+    b.write_text('"""Module doc v2."""\ndef f(x):\n    return x + 2\n')
+    assert bench._code_digest(str(a)) != bench._code_digest(str(b))
+    # docstring-only function body stays parseable after stripping
+    c = tmp_path / "c.py"
+    c.write_text('def g():\n    """only a doc."""\n')
+    assert isinstance(bench._code_digest(str(c)), bytes)
+    # unparseable file falls back to raw bytes, not a crash
+    d = tmp_path / "d.py"
+    d.write_text("def broken(:\n")
+    assert isinstance(bench._code_digest(str(d)), bytes)
+
+
 def test_pair_store_roundtrip_and_reset(tmp_path, monkeypatch):
     monkeypatch.setattr(
         bench, "_PAIR_STORE_PATH", str(tmp_path / "store.json")
