@@ -97,6 +97,9 @@ HEADLINE = [
     "source_mix_sample",
     "seq_packing_stats",
     "doc_repetition_scores",
+    "c4_quality_filter",
+    "pii_scan",
+    "heavy_hitters",
     "ngram_contamination",
     "split_fingerprint_overlap",
     "events_cardinality_by_hour",

@@ -247,6 +247,32 @@ def compile_not_match_regex_list(index, cfg, schema) -> MapCheck:
     return _column_map_check(index, cfg, cond, column)
 
 
+def compile_not_contain_pii(index, cfg, schema) -> MapCheck:
+    """Extension (no reference counterpart): flags values matching any
+    of the standard PII classes (functions/pii.py: email, phone, IPv4,
+    SSN) plus optional extra_patterns; pii_classes selects a subset.
+    Semantically expect_column_values_to_not_match_regex_list with a
+    curated, centrally-maintained pattern list — the violation rows
+    feed a redaction pass, the corpus-level mirror is the pii_scan
+    query."""
+    from ..functions.pii import PII_PATTERNS
+
+    column = cfg.kwargs["column"]
+    classes = cfg.kwargs.get("pii_classes")
+    unknown = set(classes or []) - set(PII_PATTERNS)
+    if unknown:
+        raise ValueError(
+            f"unknown pii_classes {sorted(unknown)}; "
+            f"available: {sorted(PII_PATTERNS)}"
+        )
+    regexes = [
+        p for k, p in PII_PATTERNS.items() if classes is None or k in classes
+    ] + list(cfg.kwargs.get("extra_patterns", []))
+    col = F.col(column)
+    cond = reduce(lambda a, b: a | b, [col.rlike(r) for r in regexes])
+    return _column_map_check(index, cfg, cond, column)
+
+
 def compile_match_like_pattern(index, cfg, schema) -> MapCheck:
     """SQL-only in the reference (column_values_match_like_pattern.py);
     trivially col.like(pattern) on Spark."""
@@ -558,6 +584,7 @@ MAP_COMPILERS = {
     "expect_column_values_to_not_match_regex": compile_not_match_regex,
     "expect_column_values_to_match_regex_list": compile_match_regex_list,
     "expect_column_values_to_not_match_regex_list": compile_not_match_regex_list,
+    "expect_column_values_to_not_contain_pii": compile_not_contain_pii,
     "expect_column_values_to_match_like_pattern": compile_match_like_pattern,
     "expect_column_values_to_not_match_like_pattern": compile_not_match_like_pattern,
     "expect_column_values_to_match_like_pattern_list": compile_match_like_pattern_list,

@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .functions.pii import PII_PATTERNS
+
 Query = Callable[[SparkSession, str], DataFrame]
 
 # name -> (spark_fn, oracle_sql_or_None)
@@ -3047,6 +3049,303 @@ def split_fingerprint_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("test_distinct"),
             6,
         ).alias("contamination"),
+    )
+
+
+# --- corpus hygiene gates ----------------------------------------------------
+# The filter stages a web-scale pretraining pipeline runs before the
+# mix/pack step: a C4/Gopher-style composite quality gate, a PII
+# pattern scan, and sketch-based heavy-hitter detection. All are
+# single-scan expression pipelines; heavy_hitters adds a bounded
+# sketch pass so the exact recount only shuffles candidate keys.
+
+# Thresholds tuned so each rule splits the synthetic corpus
+# non-trivially at sf0.01 and sf0.1 (token-count p5=16/p50=55/p95=94,
+# stopword-ratio p25~=0.04, top-token-share p75~=0.11/p95~=0.16).
+# mean_token_len never bites on this vocabulary (all words 1-8 chars)
+# but is kept because the real C4 rule set has it.
+_C4_MIN_WORDS = 24
+_C4_MIN_STOPWORD_RATIO = 0.03
+_C4_MAX_TOP_TOKEN_SHARE = 0.125
+_C4_MEAN_LEN_LO = 2.0
+_C4_MEAN_LEN_HI = 10.0
+
+_C4_FILTER_DUCK = f"""
+    WITH w AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             len(words) AS n,
+             len(list_filter(words,
+                 x -> x IN ('the', 'a', 'of', 'to', 'and'))) * 1.0
+               / len(words) AS stop_ratio,
+             (SELECT max(cnt) FROM (
+                SELECT count(*) AS cnt FROM unnest(words) AS t(u)
+                GROUP BY u)) * 1.0 / len(words) AS top_share,
+             (length(text) - len(words) + 1) * 1.0 / len(words)
+               AS mean_len
+      FROM w
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN n < {_C4_MIN_WORDS} THEN 1 ELSE 0 END AS f_words,
+             CASE WHEN stop_ratio < {_C4_MIN_STOPWORD_RATIO}
+                  THEN 1 ELSE 0 END AS f_stop,
+             CASE WHEN top_share > {_C4_MAX_TOP_TOKEN_SHARE}
+                  THEN 1 ELSE 0 END AS f_top,
+             CASE WHEN mean_len < {_C4_MEAN_LEN_LO}
+                    OR mean_len > {_C4_MEAN_LEN_HI}
+                  THEN 1 ELSE 0 END AS f_len
+      FROM feats
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN f_words + f_stop + f_top + f_len = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(f_words) AS BIGINT) AS dropped_min_words,
+           CAST(sum(f_stop) AS BIGINT) AS dropped_stopword,
+           CAST(sum(f_top) AS BIGINT) AS dropped_top_share,
+           CAST(sum(f_len) AS BIGINT) AS dropped_mean_len,
+           round(sum(CASE WHEN f_words + f_stop + f_top + f_len = 0
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
+    FROM flags
+    GROUP BY source
+"""
+
+
+@register("c4_quality_filter", _C4_FILTER_DUCK)
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style composite quality gate (C4: Raffel et al. 2020
+    §2.2; Gopher: Rae et al. 2021 table A1): per-source keep/drop
+    accounting for min-word-count, stopword-ratio, max-single-token
+    share, and mean-token-length rules. Rule counts are non-exclusive
+    (a doc can trip several); `kept` is the all-rules-pass count.
+
+    Scale shape: one scan, per-doc array work, one hash agg on
+    `source`. The top-token share uses array_sort + an O(n) run-length
+    fold instead of the O(n * distinct) nested-filter formulation —
+    on real corpora distinct ~ n, so the nested form is quadratic in
+    document length while this stays n log n."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        "text",
+        F.split(F.col("text"), " ").alias("words"),
+    )
+    n = F.size("words")
+    stop_ratio = (
+        F.size(
+            F.filter(
+                F.col("words"),
+                lambda w: w.isin("the", "a", "of", "to", "and"),
+            )
+        )
+        / n
+    )
+    # max run length over the sorted token array == max token count
+    run_state = F.aggregate(
+        F.array_sort("words"),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.run + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1)),
+                acc.best,
+            ).alias("best"),
+        ),
+    )
+    top_share = run_state.best / n
+    mean_len = (F.length("text") - n + 1) / n
+    flagged = base.select(
+        "source",
+        F.when(n < _C4_MIN_WORDS, 1).otherwise(0).alias("f_words"),
+        F.when(stop_ratio < _C4_MIN_STOPWORD_RATIO, 1)
+        .otherwise(0)
+        .alias("f_stop"),
+        F.when(top_share > _C4_MAX_TOP_TOKEN_SHARE, 1)
+        .otherwise(0)
+        .alias("f_top"),
+        F.when(
+            (mean_len < _C4_MEAN_LEN_LO) | (mean_len > _C4_MEAN_LEN_HI), 1
+        )
+        .otherwise(0)
+        .alias("f_len"),
+    )
+    all_pass = F.when(
+        F.col("f_words") + F.col("f_stop") + F.col("f_top") + F.col("f_len")
+        == 0,
+        1,
+    ).otherwise(0)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(all_pass).alias("kept"),
+        F.sum("f_words").alias("dropped_min_words"),
+        F.sum("f_stop").alias("dropped_stopword"),
+        F.sum("f_top").alias("dropped_top_share"),
+        F.sum("f_len").alias("dropped_mean_len"),
+        F.round(F.sum(all_pass) / F.count(F.lit(1)), 4).alias("keep_rate"),
+    )
+
+
+
+_PII_DUCK = """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars_scanned,
+           CAST(sum(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')))
+             AS BIGINT) AS email_hits,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))) AS BIGINT)
+             AS phone_hits,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) AS BIGINT)
+             AS ipv4_hits,
+           CAST(sum(len(regexp_extract_all(text,
+             '\\b\\d{3}-\\d{2}-\\d{4}\\b'))) AS BIGINT) AS ssn_hits,
+           CAST(sum(CASE WHEN
+             len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+             + len(regexp_extract_all(text,
+               '\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b'))
+             + len(regexp_extract_all(text,
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))
+             + len(regexp_extract_all(text,
+               '\\b\\d{3}-\\d{2}-\\d{4}\\b')) > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii
+    FROM documents
+    GROUP BY source
+"""
+
+
+@register("pii_scan", _PII_DUCK)
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII pattern scan (email / phone / IPv4 / SSN match counts per
+    source, plus docs-with-any-PII) — the redaction-audit pass of a
+    web-scale pipeline. One scan, one hash agg; regexp_count stays in
+    JVM codegen. The synthetic corpus is digit-free word salad, so
+    the true hit counts here are zero — the per-source docs and
+    chars_scanned columns keep the oracle comparison non-trivial, and
+    tests/test_hygiene.py proves detection on a crafted corpus with
+    known plants. Patterns live in PII_PATTERNS (shared with the
+    expect_column_values_to_not_contain_pii face) and avoid
+    lookarounds so Java regex and RE2 agree."""
+    d = _t(spark, sf_dir, "documents")
+    counts = {
+        k: F.regexp_count(F.col("text"), F.lit(p))
+        for k, p in PII_PATTERNS.items()
+    }
+    any_hit = None
+    for c in counts.values():
+        any_hit = c if any_hit is None else any_hit + c
+    per_doc = d.select(
+        "source",
+        F.length("text").alias("chars"),
+        *[c.alias(f"{k}_hits") for k, c in counts.items()],
+        F.when(any_hit > 0, 1).otherwise(0).alias("has_pii"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("chars").alias("chars_scanned"),
+        *[F.sum(f"{k}_hits").alias(f"{k}_hits") for k in PII_PATTERNS],
+        F.sum("has_pii").alias("docs_with_pii"),
+    )
+
+
+_HH_TOPK = 20
+_HH_CAPACITY = 256
+
+_HH_DUCK = f"""
+    SELECT word, cnt, rank
+    FROM (
+      SELECT word, cnt,
+             row_number() OVER (ORDER BY cnt DESC, word) AS rank
+      FROM (
+        SELECT u AS word, CAST(count(*) AS BIGINT) AS cnt
+        FROM documents, unnest(string_split(text, ' ')) AS t(u)
+        GROUP BY u
+      )
+    )
+    WHERE rank <= {_HH_TOPK}
+"""
+
+
+@register("heavy_hitters", _HH_DUCK)
+def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k tokens by exact count, found with a two-pass
+    sketch-then-recount plan (Misra-Gries 1982; the 'frequent items'
+    pattern in the Datasketches library):
+
+    pass 1 — a Misra-Gries summary of capacity m=256 per partition
+    via mapInPandas (bounded state: O(m) per partition, no shuffle of
+    token-level rows). The union of per-partition summaries provably
+    contains every token with global count > N/m, because a token
+    missed by every partition summary has per-partition count
+    <= N_p/m which sums to <= N/m.
+
+    pass 2 — exact recount restricted to the candidate set via a
+    broadcast semi-join, then top-20 with a deterministic
+    (count desc, word asc) tie-break. The final global window runs
+    over <= m * partitions candidate aggregates — a deliberately tiny
+    frame, not token-level data.
+
+    Why not one groupBy: at 100 TB with a heavy-tailed key space,
+    map-side combine stops helping (most keys are near-unique) and
+    the exchange carries ~every token. The sketch pass bounds the
+    exchange to <= m * partitions candidate rows, and the recount
+    shuffles only candidate aggregates. On this corpus (vocab ~64,
+    so every top-k count >> N/m) the candidate guarantee makes the
+    result exactly equal to the naive top-k, which is what the
+    DuckDB oracle computes."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").select("text")
+
+    def mg_partition(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for toks in pdf["text"].str.split(" "):
+                for t in toks:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < _HH_CAPACITY:
+                        counters[t] = 1
+                    else:
+                        # decrement step: all counters drop by 1,
+                        # zeros evicted (amortized O(1) per token)
+                        dead = []
+                        for k in counters:
+                            counters[k] -= 1
+                            if counters[k] == 0:
+                                dead.append(k)
+                        for k in dead:
+                            del counters[k]
+        if counters:
+            yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = d.mapInPandas(mg_partition, "word string").distinct()
+    tokens = d.select(
+        F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    exact = (
+        tokens.join(F.broadcast(candidates), "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _HH_TOPK)
+        .select("word", "cnt", "rank")
     )
 
 

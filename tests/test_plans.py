@@ -139,3 +139,30 @@ def test_seq_packing_sharded_window_two_exchanges(spark):
     assert "Window" in tree
     txt = plan_of(sq.seq_packing_stats(spark, SF), "formatted")
     assert "ReadSchema: struct<doc_id:bigint,text:string,source:string>" in txt
+
+
+def test_c4_filter_and_pii_scan_single_scan_no_python(spark):
+    for q in (sq.c4_quality_filter, sq.pii_scan):
+        tree = plan_of(q(spark, SF))
+        assert tree.count("FileScan") == 1, q.__name__
+        # one partial->final hash agg pair on source
+        assert tree.count("Exchange") == 1, q.__name__
+        assert "Python" not in tree and "MapInPandas" not in tree
+        txt = plan_of(q(spark, SF), "formatted")
+        assert "ReadSchema: struct<text:string,source:string>" in txt
+
+
+def test_heavy_hitters_sketch_then_broadcast_recount(spark):
+    tree = plan_of(sq.heavy_hitters(spark, SF))
+    # two passes by design: the MG sketch scan and the exact recount
+    assert tree.count("FileScan") == 2
+    assert tree.count("MapInPandas") == 1
+    # candidate set reaches the recount via a broadcast semi-join —
+    # token-level rows are never shuffled to a join
+    assert "BroadcastHashJoin" in tree and "LeftSemi" in tree
+    assert "SortMergeJoin" not in tree
+    # exchanges: candidate distinct (tiny), recount agg (post
+    # map-side combine), final single-partition window (tiny)
+    assert tree.count("Exchange") == 3
+    txt = plan_of(sq.heavy_hitters(spark, SF), "formatted")
+    assert "ReadSchema: struct<text:string>" in txt
