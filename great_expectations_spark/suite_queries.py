@@ -3308,27 +3308,15 @@ def heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle computes."""
     import pandas as pd
 
+    from .functions.mg import mg_update
+
     d = _t(spark, sf_dir, "documents").select("text")
 
     def mg_partition(batches):
         counters: dict = {}
         for pdf in batches:
             for toks in pdf["text"].str.split(" "):
-                for t in toks:
-                    if t in counters:
-                        counters[t] += 1
-                    elif len(counters) < _HH_CAPACITY:
-                        counters[t] = 1
-                    else:
-                        # decrement step: all counters drop by 1,
-                        # zeros evicted (amortized O(1) per token)
-                        dead = []
-                        for k in counters:
-                            counters[k] -= 1
-                            if counters[k] == 0:
-                                dead.append(k)
-                        for k in dead:
-                            del counters[k]
+                mg_update(counters, toks, _HH_CAPACITY)
         if counters:
             yield pd.DataFrame({"word": list(counters.keys())})
 
