@@ -100,6 +100,10 @@ HEADLINE = [
     "c4_quality_filter",
     "pii_scan",
     "heavy_hitters",
+    "unigram_logprob_quality",
+    "image_quality_gate",
+    "token_fertility_by_lang",
+    "dedup_cluster_sizes",
     "ngram_contamination",
     "split_fingerprint_overlap",
     "events_cardinality_by_hour",

@@ -3572,6 +3572,342 @@ def seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- model-based quality: corpus unigram LM ---------------------------------
+# The CCNet/RedPajama "perplexity filter" shape (Wenzek et al. 2020
+# §4.3) with the LM fit on the corpus itself: pass 1 estimates token
+# probabilities, pass 2 scores every document by mean negative
+# log-probability. Tokens outside the top-V vocabulary get a fixed
+# OOV mass — the cap that bounds the broadcast table at corpus scale.
+
+_LM_VOCAB_V = 20  # scaled to the synthetic corpus (vocab 31); ~1e5 real
+_LM_OOV_MASS = 0.5
+_LM_NLL_MAX = 6.0
+
+_UNIGRAM_LM_DUCK = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    counts AS (
+      SELECT tok, count(*) AS cnt FROM toks GROUP BY tok
+    ),
+    total AS (SELECT sum(cnt) * 1.0 AS total FROM counts),
+    vocab AS (
+      SELECT tok, cnt FROM counts
+      ORDER BY cnt DESC, tok LIMIT {_LM_VOCAB_V}
+    ),
+    lp AS (
+      SELECT v.tok, ln(v.cnt / t.total) AS lp FROM vocab v, total t
+    ),
+    scored AS (
+      SELECT s.doc_id,
+             -coalesce(l.lp, ln({_LM_OOV_MASS} / t.total)) AS nll,
+             CASE WHEN l.lp IS NULL THEN 1 ELSE 0 END AS oov
+      FROM toks s LEFT JOIN lp l ON s.tok = l.tok, total t
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(oov) AS BIGINT) AS oov_tokens,
+             round(avg(nll), 4) AS mean_nll
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, oov_tokens, mean_nll,
+           CAST(CASE WHEN mean_nll > {_LM_NLL_MAX} THEN 1 ELSE 0 END
+                AS INTEGER) AS low_quality
+    FROM perdoc
+"""
+
+
+@register("unigram_logprob_quality", _UNIGRAM_LM_DUCK)
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality filter: fit a top-V unigram LM on the
+    corpus (pass 1), score every document by mean token negative
+    log-probability (pass 2), flag docs above the NLL threshold.
+    CCNet (Wenzek et al. 2020) uses a pretrained KenLM; self-fitting
+    keeps the operator dependency-free with the same two-pass shape.
+
+    100 TB shape: pass 1 is explode -> map-side-combined hash agg;
+    the aggregated count table is persisted so the total-mass agg and
+    the top-V selection (TakeOrderedAndProject — per-partition top-V,
+    never a full sort) read ONE materialization instead of re-running
+    the corpus shuffle. The V-row logprob table and the 1-row total
+    broadcast to pass 2, whose per-token left join stays in the scan
+    stage — the only corpus-wide exchange in the whole plan is the
+    pass-1 token agg and the final per-doc agg. OOV tokens cost
+    ln(OOV_MASS/total): out-of-vocabulary docs score high instead of
+    disappearing (no silent drops). The flag is computed from the
+    ROUNDED mean so both engines decide identically at the boundary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = counts.persist()
+    total = counts.agg(F.sum("cnt").cast("double").alias("total"))
+    vocab = counts.orderBy(F.col("cnt").desc(), "tok").limit(_LM_VOCAB_V)
+    lp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok", F.log(F.col("cnt") / F.col("total")).alias("lp")
+    )
+    oov_nll = -F.log(F.lit(_LM_OOV_MASS) / F.col("total"))
+    scored = (
+        toks.join(F.broadcast(lp), "tok", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.coalesce(-F.col("lp"), oov_nll).alias("nll"),
+            F.when(F.col("lp").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("oov_tokens"),
+        F.round(F.avg("nll"), 4).alias("mean_nll"),
+    )
+    return perdoc.select(
+        "doc_id",
+        "n_tokens",
+        "oov_tokens",
+        "mean_nll",
+        F.when(F.col("mean_nll") > _LM_NLL_MAX, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("low_quality"),
+    )
+
+
+# --- image quality gate ------------------------------------------------------
+# The image-axis twin of c4_quality_filter: LAION-style metadata
+# gates (min side, aspect ratio, format whitelist, caption length —
+# Schuhmann et al. 2021 §2.2 filter the crawl exactly this way)
+# applied before any byte is decoded. Image metadata is derived
+# deterministically from doc_id in BOTH dialects so the oracle runs
+# on the shared parquet corpus; image_gate_flags below is the
+# production face over a real (w, h, fmt, caption) table.
+
+_IMG_MIN_SIDE = 16
+_IMG_MAX_ASPECT = 2.5
+_IMG_CAPTION_MIN = 100
+_IMG_CAPTION_MAX = 450
+_IMG_FORMATS = ("jpeg", "png", "webp")
+
+
+def _image_meta_sql() -> Tuple[str, str, str]:
+    """(w, h, fmt) expressions over a documents row — identical text
+    in Spark SQL and DuckDB (integer %, CASE)."""
+    w = "(8 * (1 + doc_id % 6))"
+    h = "(8 * (1 + (doc_id % 17) % 6))"
+    fmt = (
+        "(CASE WHEN doc_id % 29 < 13 THEN 'jpeg' "
+        "WHEN doc_id % 29 < 21 THEN 'png' "
+        "WHEN doc_id % 29 < 26 THEN 'webp' "
+        "WHEN doc_id % 29 < 28 THEN 'gif' ELSE 'bmp' END)"
+    )
+    return w, h, fmt
+
+
+def _image_gate_duck() -> str:
+    w, h, fmt = _image_meta_sql()
+    fmts = ", ".join(f"'{f}'" for f in _IMG_FORMATS)
+    return f"""
+    WITH meta AS (
+      SELECT source, {w} AS w, {h} AS h, {fmt} AS fmt, n_chars
+      FROM documents
+    ),
+    flags AS (
+      SELECT source,
+             CASE WHEN least(w, h) < {_IMG_MIN_SIDE} THEN 1 ELSE 0 END
+               AS f_side,
+             CASE WHEN greatest(w, h) * 1.0 / least(w, h)
+                       > {_IMG_MAX_ASPECT} THEN 1 ELSE 0 END AS f_aspect,
+             CASE WHEN fmt NOT IN ({fmts}) THEN 1 ELSE 0 END AS f_fmt,
+             CASE WHEN n_chars < {_IMG_CAPTION_MIN}
+                    OR n_chars > {_IMG_CAPTION_MAX}
+                  THEN 1 ELSE 0 END AS f_cap
+      FROM meta
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(CASE WHEN f_side + f_aspect + f_fmt + f_cap = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+           CAST(sum(f_side) AS BIGINT) AS dropped_min_side,
+           CAST(sum(f_aspect) AS BIGINT) AS dropped_aspect,
+           CAST(sum(f_fmt) AS BIGINT) AS dropped_fmt,
+           CAST(sum(f_cap) AS BIGINT) AS dropped_caption,
+           round(sum(CASE WHEN f_side + f_aspect + f_fmt + f_cap = 0
+                     THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS keep_rate
+    FROM flags
+    GROUP BY source
+"""
+
+
+def image_gate_flags(
+    df: DataFrame,
+    w_col: str = "w",
+    h_col: str = "h",
+    fmt_col: str = "fmt",
+    caption_col: str = "caption",
+    min_side: int = _IMG_MIN_SIDE,
+    max_aspect: float = _IMG_MAX_ASPECT,
+    formats: Tuple[str, ...] = _IMG_FORMATS,
+    caption_chars: Tuple[int, int] = (_IMG_CAPTION_MIN, _IMG_CAPTION_MAX),
+) -> DataFrame:
+    """Production face of image_quality_gate: per-row boolean gate
+    flags + overall `keep` over a real image table in the engine's
+    target shape (image_id, bytes, w, h, fmt, caption, phash). Pure
+    metadata expressions — one projection, no decode, no shuffle —
+    so the gate fuses into whatever scan feeds it and drops rows
+    BEFORE any byte-level work (decode checks, phash, dedup)."""
+    w, h = F.col(w_col), F.col(h_col)
+    cap_len = F.length(F.coalesce(F.col(caption_col), F.lit("")))
+    f_side = F.least(w, h) < min_side
+    f_aspect = F.greatest(w, h) / F.least(w, h) > max_aspect
+    f_fmt = ~F.col(fmt_col).isin(*formats)
+    f_cap = (cap_len < caption_chars[0]) | (cap_len > caption_chars[1])
+    return df.select(
+        "*",
+        f_side.alias("f_min_side"),
+        f_aspect.alias("f_aspect"),
+        f_fmt.alias("f_fmt"),
+        f_cap.alias("f_caption"),
+        (~(f_side | f_aspect | f_fmt | f_cap)).alias("keep"),
+    )
+
+
+@register("image_quality_gate", _image_gate_duck())
+def image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION-style image metadata gate, per-source accounting: docs
+    dropped by min-side, aspect-ratio, format-whitelist and
+    caption-length rules, with non-exclusive rule counts and the
+    all-rules-pass keep rate (same contract as c4_quality_filter).
+
+    100 TB shape: one column-pruned scan (doc_id, source, n_chars —
+    the text column is never read), a handful of integer/CASE
+    expressions, one map-side-partial hash agg on ~|sources| keys.
+    Metadata gates run BEFORE decode in a real pipeline because they
+    cost ~nothing per row and typically drop 10-50% of a crawl —
+    image_gate_flags is that per-row face."""
+    w, h, fmt = _image_meta_sql()
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(w).alias("w"),
+        F.expr(h).alias("h"),
+        F.expr(fmt).alias("fmt"),
+        "n_chars",
+    )
+    f_side = F.when(
+        F.least("w", "h") < _IMG_MIN_SIDE, 1
+    ).otherwise(0)
+    f_aspect = F.when(
+        F.greatest("w", "h") / F.least("w", "h") > _IMG_MAX_ASPECT, 1
+    ).otherwise(0)
+    f_fmt = F.when(~F.col("fmt").isin(*_IMG_FORMATS), 1).otherwise(0)
+    f_cap = F.when(
+        (F.col("n_chars") < _IMG_CAPTION_MIN)
+        | (F.col("n_chars") > _IMG_CAPTION_MAX),
+        1,
+    ).otherwise(0)
+    flagged = d.select(
+        "source",
+        f_side.alias("f_side"),
+        f_aspect.alias("f_aspect"),
+        f_fmt.alias("f_fmt"),
+        f_cap.alias("f_cap"),
+    )
+    all_pass = F.when(
+        F.col("f_side") + F.col("f_aspect") + F.col("f_fmt")
+        + F.col("f_cap")
+        == 0,
+        1,
+    ).otherwise(0)
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(all_pass).alias("kept"),
+        F.sum("f_side").alias("dropped_min_side"),
+        F.sum("f_aspect").alias("dropped_aspect"),
+        F.sum("f_fmt").alias("dropped_fmt"),
+        F.sum("f_cap").alias("dropped_caption"),
+        F.round(F.sum(all_pass) / F.count(F.lit(1)), 4).alias(
+            "keep_rate"
+        ),
+    )
+
+
+# --- tokenizer fertility + dedup cluster accounting --------------------------
+
+
+@register(
+    "token_fertility_by_lang",
+    """
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           round(sum(n_chars) * 1.0
+                 / sum(len(string_split(text, ' '))), 4)
+             AS chars_per_token,
+           round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 4)
+             AS tokens_per_doc
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit: chars-per-token and tokens-per-doc
+    by language — the multilingual budget check (a tokenizer whose
+    fertility doubles on some language silently halves that
+    language's effective context). One scan, one ~|langs|-key hash
+    agg; the token counter is the whitespace tokenizer shared with
+    token_count_by_source."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(F.split(F.col("text"), " "))
+    per = d.select("lang", ntok.alias("ntok"), "n_chars")
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("ntok").alias("ws_tokens"),
+        F.sum("n_chars").alias("chars"),
+        F.round(F.sum("n_chars") / F.sum("ntok"), 4).alias(
+            "chars_per_token"
+        ),
+        F.round(F.sum("ntok") / F.count(F.lit(1)), 4).alias(
+            "tokens_per_doc"
+        ),
+    )
+
+
+@register(
+    "dedup_cluster_sizes",
+    f"""
+    WITH cl AS ({_CLUSTERS_DUCK})
+    SELECT cluster_size,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clusters,
+           CAST(count(*) AS BIGINT) AS docs
+    FROM cl
+    GROUP BY cluster_size
+    """,
+)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size histogram of the text dedup endgame — the shape
+    report an operator reads before trusting a dedup pass (a single
+    giant cluster means a degenerate boilerplate key; millions of
+    pairs means the threshold is too loose). Counts clusters by
+    counting keepers (exactly one per cluster), so the histogram
+    needs no distinct over cluster ids — one hash agg over the
+    keep/drop table, which pipeline mode shares with dedup_clusters
+    and dedup_ratio_by_source instead of recomputing."""
+    cl = _shared_stage(
+        "clusters", spark, sf_dir,
+        lambda: dedup_clusters(spark, sf_dir),
+    )
+    return cl.groupBy("cluster_size").agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clusters"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+
+
 # =============================================================================
 # 10. Windowed / ordered operators over the events stream table —
 #     rollups, sessionization, grouped top-k (SURVEY.md §2.2 window

@@ -166,3 +166,35 @@ def test_heavy_hitters_sketch_then_broadcast_recount(spark):
     assert tree.count("Exchange") == 3
     txt = plan_of(sq.heavy_hitters(spark, SF), "formatted")
     assert "ReadSchema: struct<text:string>" in txt
+
+
+def test_image_gate_prunes_text_single_exchange(spark):
+    tree = plan_of(sq.image_quality_gate(spark, SF))
+    assert tree.count("FileScan") == 1
+    assert tree.count("Exchange") == 1  # one hash agg on source
+    assert "Python" not in tree
+    txt = plan_of(sq.image_quality_gate(spark, SF), "formatted")
+    # the gate is metadata-only: the text column is never read
+    assert (
+        "ReadSchema: struct<doc_id:bigint,source:string,n_chars:bigint>"
+        in txt
+    )
+
+
+def test_unigram_lm_caches_counts_and_broadcasts_model(spark):
+    tree = plan_of(sq.unigram_logprob_quality(spark, SF))
+    # pass 1 (LM fit) is persisted: BOTH consumers (top-V vocab, total
+    # mass) read the cached count table, so the counts shuffle never
+    # re-executes. (Static explain inlines the cache-build subtree —
+    # and its FileScan — under every InMemoryTableScan, so the cache
+    # reads are the assertable property, not the raw FileScan count.)
+    # 3 reads: top-V vocab, total mass under the logprobs, total mass
+    # again under the OOV floor
+    assert tree.count("InMemoryTableScan") == 3
+    # top-V selection is per-partition top-V, never a full sort
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Sort ") == 0
+    # the V-row logprob table and 1-row total reach the scoring scan
+    # as broadcasts; token-level rows are never shuffled to a join
+    assert "BroadcastHashJoin" in tree and "LeftOuter" in tree
+    assert "SortMergeJoin" not in tree and "Python" not in tree
