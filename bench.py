@@ -92,6 +92,8 @@ HEADLINE = [
     "phash_hamming_neardup",
     "phash_band_stats",
     "phash_clusters",
+    "crossmodal_dedup_clusters",
+    "crossmodal_edge_stats",
     "text_quality_scores",
     "token_count_by_source",
     "source_mix_sample",

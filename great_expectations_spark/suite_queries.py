@@ -3572,6 +3572,109 @@ def seq_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cross-modal (image + caption) dedup -------------------------------------
+# The LAION-style pair-level rule: two image+caption records are
+# duplicates when EITHER modality matches — the image is a phash
+# near-dup OR the caption is a verified text near-dup. One keep/drop
+# table over the union graph, plus modality accounting for the edges.
+
+# NOTE: each side keeps its own WITH inside a FROM-subquery — DuckDB
+# rejects a multi-CTE nested WITH inside a recursive CTE element.
+_CROSSMODAL_CAND_DUCK = f"""
+    SELECT doc_a, doc_b FROM ({_LSH_VERIFIED_DUCK})
+    UNION
+    SELECT doc_a, doc_b FROM ({_phash_duck_sql()})
+"""
+
+
+def _crossmodal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tx = _shared_stage(
+        "verified_pairs", spark, sf_dir,
+        lambda: lsh_verified_pairs(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    ph = _shared_stage(
+        "phash_pairs", spark, sf_dir,
+        lambda: phash_hamming_neardup(spark, sf_dir),
+    ).select("doc_a", "doc_b")
+    return tx.union(ph).distinct()
+
+
+@register(
+    "crossmodal_dedup_clusters",
+    _clusters_duck_sql(_CROSSMODAL_CAND_DUCK),
+)
+def crossmodal_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup endgame: connected components + canonical
+    keeper over the UNION of verified text near-dup edges
+    (lsh_verified_pairs) and phash hamming image edges
+    (phash_hamming_neardup) — a record is dropped when any duplicate
+    path, textual or visual, connects it to an earlier keeper. This
+    is how image+caption corpora are actually deduplicated (LAION
+    dedups on image hash and caption independently): deduping either
+    modality alone keeps pairs whose OTHER modality is copied.
+
+    100 TB shape: both edge generators are the already-audited capped
+    LSH pipelines (shared stages in pipeline mode — the union never
+    recomputes them); the union graph is O(dups-by-either-modality)
+    edges, and the clustering is the same bounded min-label
+    propagation / driver union-find machinery as dedup_clusters,
+    against the same exact recursive-CTE closure oracle."""
+    return _cluster_keep_table(
+        spark, sf_dir, _crossmodal_pairs(spark, sf_dir)
+    )
+
+
+@register(
+    "crossmodal_edge_stats",
+    f"""
+    WITH txp AS (SELECT DISTINCT doc_a, doc_b FROM ({_LSH_VERIFIED_DUCK})),
+    php AS (SELECT DISTINCT doc_a, doc_b FROM ({_phash_duck_sql()}))
+    SELECT
+      CAST(count(CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL
+                 THEN 1 END) AS BIGINT) AS both_modalities,
+      CAST(count(CASE WHEN t.doc_a IS NOT NULL AND p.doc_a IS NULL
+                 THEN 1 END) AS BIGINT) AS text_only,
+      CAST(count(CASE WHEN t.doc_a IS NULL AND p.doc_a IS NOT NULL
+                 THEN 1 END) AS BIGINT) AS image_only
+    FROM txp t FULL OUTER JOIN php p
+      ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b
+    """,
+)
+def crossmodal_edge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality accounting for the cross-modal dedup graph: how many
+    duplicate edges were found by both modalities, by text only, and
+    by image only — the no-silent-merge mirror of
+    crossmodal_dedup_clusters (an operator sees WHICH signal drove
+    the drops; image_only >> text_only on a corpus of re-captioned
+    copies, the reverse on re-encoded images). Full outer join of the
+    two slim edge lists (id pairs only), then one global agg."""
+    tx = _shared_stage(
+        "verified_pairs", spark, sf_dir,
+        lambda: lsh_verified_pairs(spark, sf_dir),
+    ).select("doc_a", "doc_b").distinct()
+    ph = _shared_stage(
+        "phash_pairs", spark, sf_dir,
+        lambda: phash_hamming_neardup(spark, sf_dir),
+    ).select("doc_a", "doc_b").distinct()
+    t = tx.select(
+        F.col("doc_a").alias("ta"), F.col("doc_b").alias("tb")
+    )
+    p = ph.select(
+        F.col("doc_a").alias("pa"), F.col("doc_b").alias("pb")
+    )
+    j = t.join(
+        p,
+        (F.col("ta") == F.col("pa")) & (F.col("tb") == F.col("pb")),
+        "full_outer",
+    )
+    in_t, in_p = F.col("ta").isNotNull(), F.col("pa").isNotNull()
+    return j.agg(
+        F.count(F.when(in_t & in_p, 1)).alias("both_modalities"),
+        F.count(F.when(in_t & ~in_p, 1)).alias("text_only"),
+        F.count(F.when(~in_t & in_p, 1)).alias("image_only"),
+    )
+
+
 # --- model-based quality: corpus unigram LM ---------------------------------
 # The CCNet/RedPajama "perplexity filter" shape (Wenzek et al. 2020
 # §4.3) with the LM fit on the corpus itself: pass 1 estimates token
