@@ -196,6 +196,48 @@ def compile_phash_match(index, cfg, schema) -> MapCheck:
     )
 
 
+def compile_metadata_quality_gate(index, cfg, schema) -> MapCheck:
+    """expect_image_metadata_to_pass_quality_gate: the LAION-style
+    pre-decode gate (min side, aspect ratio, format whitelist,
+    caption length) as a declarative expectation — pure metadata
+    expressions over (w, h, fmt, caption), so a suite carrying it
+    never reads the bytes column for this check and the condition
+    fuses into the single-pass agg like any map metric. The same
+    rules as suite_queries.image_gate_flags / image_quality_gate;
+    kwargs: min_side, max_aspect, formats, caption_chars, plus the
+    *_column names and mostly. Null or missing metadata FAILS the
+    gate (a record you cannot gate is not a keeper)."""
+    w_col = cfg.kwargs.get("width_column", "w")
+    h_col = cfg.kwargs.get("height_column", "h")
+    fmt_col = cfg.kwargs.get("format_column", "fmt")
+    cap_col = cfg.kwargs.get("caption_column", "caption")
+    id_column = cfg.kwargs.get("id_column", "image_id")
+    min_side = int(cfg.kwargs.get("min_side", 16))
+    max_aspect = float(cfg.kwargs.get("max_aspect", 2.5))
+    formats = tuple(cfg.kwargs.get("formats", ("jpeg", "png", "webp")))
+    cap_min, cap_max = cfg.kwargs.get("caption_chars", (100, 450))
+    w, h = F.col(w_col), F.col(h_col)
+    cap_len = F.length(F.coalesce(F.col(cap_col), F.lit("")))
+    fail = (
+        (F.least(w, h) < F.lit(min_side))
+        | (F.greatest(w, h) / F.least(w, h) > F.lit(max_aspect))
+        | (~F.col(fmt_col).isin(*formats))
+        | (cap_len < F.lit(int(cap_min)))
+        | (cap_len > F.lit(int(cap_max)))
+    )
+    cond = F.coalesce(fail, F.lit(True))  # null w/h/fmt fails the gate
+    return MapCheck(
+        index=index,
+        config=cfg,
+        columns=[w_col, h_col, fmt_col, cap_col],
+        build=lambda stats: (cond, json_value(F.col(id_column))),
+        consider=None,  # every record is gated, nulls included
+        denominator="total",
+        mostly=get_mostly(cfg.kwargs),
+        value_decoder=decode_single,
+    )
+
+
 def compile_pixels_match_reference(index, cfg, schema):
     """PSNR >= threshold against a reference table's payloads.
 
@@ -312,5 +354,6 @@ IMAGE_COMPILERS = {
     "expect_image_dimensions_to_match_metadata": compile_dimensions_match,
     "expect_image_format_to_match_metadata": compile_format_match,
     "expect_image_phash_to_match": compile_phash_match,
+    "expect_image_metadata_to_pass_quality_gate": compile_metadata_quality_gate,
     "expect_image_pixels_to_match_reference": compile_pixels_match_reference,
 }

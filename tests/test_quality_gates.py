@@ -165,3 +165,79 @@ def test_cluster_size_histogram_consistent(spark):
     assert sum(r.n_clusters for r in hist) == sum(
         1 for r in keep if r.keep
     )
+
+
+def test_metadata_gate_expectation_strategies_agree(spark):
+    import great_expectations_spark as ges
+
+    rows = [
+        ("ok1", 32, 32, "jpeg", "x" * 200),
+        ("ok2", 24, 48, "png", "y" * 150),
+        ("small", 8, 32, "jpeg", "x" * 200),   # min side
+        ("wide", 64, 16, "png", "x" * 200),    # aspect 4.0
+        ("fmt", 32, 32, "gif", "x" * 200),     # format
+        ("cap", 32, 32, "webp", "x" * 10),     # caption too short
+        ("nullfmt", 32, 32, None, "x" * 200),  # null metadata fails
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, w int, h int, fmt string, caption string"
+    )
+    s = ges.suite("gate").expect(
+        "expect_image_metadata_to_pass_quality_gate", mostly=0.5
+    )
+    results = {}
+    for strategy in ("classic", "single_pass"):
+        res = ges.SparkValidator(
+            df, s, result_format="SUMMARY", strategy=strategy
+        ).validate()
+        r = res.results[0].result
+        results[strategy] = (
+            res.results[0].success,
+            r["element_count"],
+            r["unexpected_count"],
+        )
+    compiled = ges.compile_suite(
+        s, df.schema, spark, result_format="SUMMARY"
+    ).validate(df)
+    r = compiled.results[0].result
+    results["compiled"] = (
+        compiled.results[0].success,
+        r["element_count"],
+        r["unexpected_count"],
+    )
+    assert len(set(results.values())) == 1, results
+    # 5 of 7 fail the gate; mostly=0.5 -> unexpected 71% -> failure
+    assert results["classic"] == (False, 7, 5)
+
+
+def test_metadata_gate_suite_never_reads_bytes(spark):
+    import io
+    import contextlib
+
+    import great_expectations_spark as ges
+    from great_expectations_spark.data.images import images_df
+    from great_expectations_spark.operators.registry import get_compiler
+    from great_expectations_spark.plans.planner import (
+        collect_agg_exprs,
+        split_checks,
+    )
+
+    df = images_df(spark, n_rows=200, seed=3)
+    s = ges.suite("gate").expect(
+        "expect_image_metadata_to_pass_quality_gate"
+    )
+    compiled = [
+        get_compiler(cfg.expectation_type)(i, cfg, df.schema)
+        for i, cfg in enumerate(s.expectations)
+    ]
+    _, map_checks, agg_checks, job_checks = split_checks(compiled)
+    exprs = collect_agg_exprs(map_checks, agg_checks, job_checks)
+    agg_df = df.agg(
+        *[e.alias(k.replace(":", "_").replace(".", "_"))
+          for k, e in exprs.items()]
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        agg_df.explain("formatted")
+    txt = buf.getvalue()
+    assert "bytes" not in txt.split("ReadSchema:")[-1].splitlines()[0]
