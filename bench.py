@@ -99,6 +99,10 @@ HEADLINE = [
     "source_mix_sample",
     "seq_packing_stats",
     "doc_repetition_scores",
+    "segment_dedup_stats",
+    "source_token_divergence",
+    "phash_split_leakage",
+    "phash_bit_balance",
     "c4_quality_filter",
     "pii_scan",
     "heavy_hitters",

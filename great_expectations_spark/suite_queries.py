@@ -4012,6 +4012,393 @@ def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =============================================================================
+# 9b. Corpus audits: corpus-wide duplicate-segment accounting, per-
+#     source unigram divergence, cross-split image leakage, and
+#     phash bit-balance — the audit reports a pipeline reads before
+#     trusting its dedup keys, its source mix, and its eval split.
+# =============================================================================
+
+_SEG_LEN = 8  # tokens per non-overlapping dedup segment
+
+
+_SEGMENT_DEDUP_DUCK = f"""
+    WITH w AS (
+      SELECT doc_id, source, string_split(text, ' ') AS words
+      FROM documents
+    ),
+    seg AS (
+      SELECT doc_id, source, md5(s) AS h
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_transform(range(len(words) // {_SEG_LEN}),
+                 i -> array_to_string(
+                        words[i * {_SEG_LEN} + 1 : i * {_SEG_LEN}
+                              + {_SEG_LEN}], ' '))) AS s
+        FROM w WHERE len(words) >= {_SEG_LEN})
+    ),
+    g1 AS (
+      SELECT h, doc_id, source, count(*) AS c
+      FROM seg GROUP BY h, doc_id, source
+    ),
+    hd AS (SELECT h, count(*) AS ndocs FROM g1 GROUP BY h),
+    perdoc AS (
+      SELECT g1.doc_id, g1.source,
+             sum(c) AS segs,
+             sum(CASE WHEN ndocs >= 2 THEN c ELSE 0 END) AS dups
+      FROM g1 JOIN hd ON g1.h = hd.h
+      GROUP BY g1.doc_id, g1.source
+    ),
+    psrc AS (
+      SELECT source,
+             count(*) AS docs_with_segments,
+             sum(segs) AS segments,
+             sum(dups) AS dup_segments,
+             sum(CASE WHEN dups * 2 > segs THEN 1 ELSE 0 END)
+               AS docs_over_half
+      FROM perdoc GROUP BY source
+    ),
+    src AS (SELECT source, count(*) AS docs FROM documents
+            GROUP BY source)
+    SELECT src.source,
+           CAST(docs AS BIGINT) AS docs,
+           CAST(coalesce(docs_with_segments, 0) AS BIGINT)
+             AS docs_with_segments,
+           CAST(coalesce(segments, 0) AS BIGINT) AS segments,
+           CAST(coalesce(dup_segments, 0) AS BIGINT) AS dup_segments,
+           CASE WHEN coalesce(segments, 0) > 0
+                THEN floor(dup_segments * 10000.0 / segments) / 10000
+                ELSE 0.0 END AS dup_rate,
+           CAST(coalesce(docs_over_half, 0) AS BIGINT)
+             AS docs_over_half
+    FROM src LEFT JOIN psrc ON src.source = psrc.source
+"""
+
+
+@register("segment_dedup_stats", _SEGMENT_DEDUP_DUCK)
+def segment_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-segment accounting (the RefinedWeb /
+    CCNet exact-substring-dedup audit at segment granularity): split
+    every document into non-overlapping 8-token segments, hash each,
+    and count — per source — how many segment instances also occur in
+    at least one OTHER document, plus the docs whose majority of
+    segments are duplicated (the rows an exact-substring dedup pass
+    would gut). Within-doc repetition is deliberately excluded (that
+    is doc_repetition_scores' job): a segment counts as duplicated
+    only when >= 2 distinct docs carry it.
+
+    100 TB shape: segments are built per-row (array slice work, no
+    shuffle), md5 runs AFTER the explode so it stays in whole-stage
+    codegen, and the corpus-wide state is two hash aggregations on
+    16-byte keys — (hash, doc) instance counts, then docs-per-hash —
+    followed by a shuffle-hash join of those two slim tables on the
+    same key (the first agg's exchange is reusable for both). No
+    window, no sort, no driver state; the per-source report is a
+    ~|sources|-row final agg. The reference has no corpus-dedup
+    audit; expectation-parity anchor for the accounting style:
+    unexpected-count fractions in map metrics
+    (great_expectations/expectations/metrics/map_metric_provider.py).
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", "source", F.split(F.col("text"), " ").alias("words")
+    )
+    inst = (
+        words.where(F.size("words") >= _SEG_LEN)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, CAST(floor(size(words) "
+                    f"/ {_SEG_LEN}) AS INT) - 1), "
+                    f"i -> concat_ws(' ', slice(words, "
+                    f"i * {_SEG_LEN} + 1, {_SEG_LEN})))"
+                )
+            ).alias("s"),
+        )
+        .select("doc_id", "source", F.md5("s").alias("h"))
+    )
+    g1 = inst.groupBy("h", "doc_id", "source").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    hd = g1.groupBy("h").agg(F.count(F.lit(1)).alias("ndocs"))
+    perdoc = (
+        g1.join(hd, "h")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("c").alias("segs"),
+            F.sum(
+                F.when(F.col("ndocs") >= 2, F.col("c")).otherwise(0)
+            ).alias("dups"),
+        )
+    )
+    psrc = perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_with_segments"),
+        F.sum("segs").alias("segments"),
+        F.sum("dups").alias("dup_segments"),
+        F.sum(
+            F.when(F.col("dups") * 2 > F.col("segs"), 1).otherwise(0)
+        ).alias("docs_over_half"),
+    )
+    src = d.groupBy("source").agg(F.count(F.lit(1)).alias("docs"))
+    j = src.join(psrc, "source", "left")
+    return j.select(
+        "source",
+        "docs",
+        F.coalesce("docs_with_segments", F.lit(0)).alias(
+            "docs_with_segments"
+        ),
+        F.coalesce("segments", F.lit(0)).alias("segments"),
+        F.coalesce("dup_segments", F.lit(0)).alias("dup_segments"),
+        F.when(
+            F.coalesce("segments", F.lit(0)) > 0,
+            F.floor(F.col("dup_segments") * 10000.0 / F.col("segments"))
+            / 10000,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_rate"),
+        F.coalesce("docs_over_half", F.lit(0)).alias("docs_over_half"),
+    )
+
+
+def _source_divergence_duck() -> str:
+    p = "(c * 1.0 / st)"
+    q = "(g * 1.0 / gt)"
+    m = f"(({p} + {q}) / 2)"
+    m0 = f"((coalesce(c, 0) * 1.0 / st + {q}) / 2)"
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    sc AS (SELECT source, tok, count(*) AS c FROM toks
+           GROUP BY source, tok),
+    g AS (SELECT tok, sum(c) AS g FROM sc GROUP BY tok),
+    gt AS (SELECT sum(g) AS gt FROM g),
+    st AS (SELECT source, sum(c) AS st FROM sc GROUP BY source),
+    grid AS (SELECT st.source, st.st, g.tok, g.g, gt.gt
+             FROM st, g, gt),
+    j AS (
+      SELECT grid.source, grid.st, grid.tok, grid.g, grid.gt, sc.c
+      FROM grid LEFT JOIN sc
+        ON grid.source = sc.source AND grid.tok = sc.tok
+    )
+    SELECT source,
+           CAST(st AS BIGINT) AS tokens,
+           CAST(sum(CASE WHEN c IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS src_vocab,
+           CAST(count(*) AS BIGINT) AS vocab,
+           round(0.5 * sum(CASE WHEN c IS NOT NULL
+                           THEN {p} * ln({p} / {m}) ELSE 0 END)
+               + 0.5 * sum({q} * ln({q} / {m0})), 6) AS jsd
+    FROM j
+    GROUP BY source, st
+"""
+
+
+@register("source_token_divergence", _source_divergence_duck())
+def source_token_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram Jensen-Shannon divergence (nats) against
+    the corpus-wide token distribution — the mix-drift fingerprint a
+    pipeline monitors per ingest source: a source whose JSD jumps has
+    changed register (spam burst, language shift, template flood)
+    even when its volume and length stats look flat.
+
+    100 TB shape: ONE corpus-wide exchange — the (source, token)
+    hash agg — which is persisted and reused by the global-vocab
+    agg, the per-source totals, and the probability join; everything
+    downstream operates on |sources| x |vocab| rows (vocab is the
+    aggregated token table, top-V-boundable the same way
+    unigram_logprob_quality bounds its LM). The full-support grid
+    (broadcast vocab x source totals, left join of observed counts)
+    makes the absent-token q*ln(2) mass explicit instead of silently
+    truncating KL to the observed support."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("tok")
+    )
+    sc = (
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    g = sc.groupBy("tok").agg(F.sum("c").alias("g"))
+    gt = g.agg(F.sum("g").alias("gt"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("st"))
+    grid = st.crossJoin(F.broadcast(g)).crossJoin(F.broadcast(gt))
+    j = grid.join(sc, ["source", "tok"], "left")
+    p = F.col("c") / F.col("st")
+    q = F.col("g") / F.col("gt")
+    m = (p + q) / 2
+    m0 = (F.coalesce(F.col("c"), F.lit(0)) / F.col("st") + q) / 2
+    term_p = F.when(
+        F.col("c").isNotNull(), p * F.log(p / m)
+    ).otherwise(F.lit(0.0))
+    term_q = q * F.log(q / m0)
+    out = j.groupBy("source", "st").agg(
+        F.sum(F.when(F.col("c").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("src_vocab"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.round(
+            0.5 * F.sum(term_p) + 0.5 * F.sum(term_q), 6
+        ).alias("jsd"),
+    )
+    return out.select(
+        "source",
+        F.col("st").alias("tokens"),
+        "src_vocab",
+        "vocab",
+        "jsd",
+    )
+
+
+def _phash_split_leakage_duck() -> str:
+    _, packed = _phash_parts_sql("duck")
+    sk = _hexval_sql("CAST(doc_id AS VARCHAR)", "duck")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, {packed} AS phash,
+             ({sk} % 5) AS sk
+      FROM documents
+    ),
+    train AS (SELECT DISTINCT phash FROM base WHERE sk <> 0),
+    ev AS (SELECT source, phash FROM base WHERE sk = 0)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS eval_images,
+           CAST(sum(CASE WHEN t.phash IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS leaked_images,
+           count(DISTINCT CASE WHEN t.phash IS NOT NULL
+                 THEN ev.phash END) AS leaked_phashes,
+           floor(sum(CASE WHEN t.phash IS NOT NULL THEN 1 ELSE 0 END)
+                 * 10000.0 / count(*)) / 10000 AS leak_rate
+    FROM ev LEFT JOIN train t ON ev.phash = t.phash
+    GROUP BY source
+"""
+
+
+@register("phash_split_leakage", _phash_split_leakage_duck())
+def phash_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split image decontamination: eval-split images whose
+    EXACT perceptual hash also appears in the train split — the
+    image-axis twin of ngram_contamination (text 5-grams) and the
+    exact counterpart of the sketch-approximate
+    split_fingerprint_overlap. The 80/20 split is content-addressed
+    (md5 of doc_id, same arithmetic both dialects) so it is
+    reproducible and uncorrelated with source/partition order —
+    a `doc_id % k` split here would alias with the generator's
+    source assignment and leave most sources with zero eval rows.
+
+    100 TB shape: one projection builds (phash, side), the train
+    side collapses to distinct phashes via a map-side-combined hash
+    agg, and the leak check is a join on an 8-byte key — AQE
+    broadcasts the distinct side when it fits and falls back to a
+    shuffle-hash join when it does not; nothing here is driver-side.
+    When even the distinct table is too big to shuffle comfortably,
+    the theta-sketch variant (split_fingerprint_overlap) is the
+    documented approximate fallback."""
+    _, packed = _phash_parts_sql("spark")
+    sk = _hexval_sql("CAST(doc_id AS STRING)", "spark")
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.expr(packed).alias("phash"),
+        (F.expr(sk) % 5 == 0).alias("is_eval"),
+    )
+    train = (
+        base.where(~F.col("is_eval"))
+        .select("phash")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    ev = base.where(F.col("is_eval"))
+    j = ev.join(train, "phash", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("eval_images"),
+        F.sum(F.coalesce("hit", F.lit(0)))
+        .cast("bigint")
+        .alias("leaked_images"),
+        F.countDistinct(
+            F.when(F.col("hit") == 1, F.col("phash"))
+        ).alias("leaked_phashes"),
+        (
+            F.floor(
+                F.sum(F.coalesce("hit", F.lit(0)))
+                * 10000.0
+                / F.count(F.lit(1))
+            )
+            / 10000
+        ).alias("leak_rate"),
+    )
+
+
+def _phash_bit_balance_duck() -> str:
+    _, packed = _phash_parts_sql("duck")
+    return f"""
+    WITH base AS (SELECT {packed} AS phash FROM documents)
+    SELECT CAST(bit AS BIGINT) AS bit,
+           CAST(sum((phash >> bit) & 1) AS BIGINT) AS ones,
+           CAST(count(*) AS BIGINT) AS n_images,
+           floor(sum((phash >> bit) & 1) * 1000000.0 / count(*))
+             / 1000000 AS rate,
+           CAST(CASE WHEN floor(sum((phash >> bit) & 1) * 1000000.0
+                            / count(*)) / 1000000 < 0.35
+                       OR floor(sum((phash >> bit) & 1) * 1000000.0
+                            / count(*)) / 1000000 > 0.65
+                THEN 1 ELSE 0 END AS INTEGER) AS degenerate
+    FROM base, range({63}) t(bit)
+    GROUP BY bit
+"""
+
+
+@register("phash_bit_balance", _phash_bit_balance_duck())
+def phash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash quality audit: per-bit set rate over the
+    63-bit packed phash. A healthy hash keeps every bit near 0.5;
+    bits pinned toward 0/1 carry no entropy, which silently degrades
+    every banded-LSH stage built on the hash (phash_hamming_neardup's
+    16-bit bands collapse into mega-buckets). Rates here (and in the
+    other corpus audits) are floor-scaled — floor(x * 1e6 / n) / 1e6 —
+    not round()ed: both engines then run the identical IEEE ops, so
+    decimal-tie values like 138/1600 = 0.08625 cannot split between
+    Spark's HALF_UP (BigDecimal.valueOf of the shortest repr) and
+    DuckDB's binary-value rounding; the degenerate flag compares that
+    bit-identical value so both engines decide identically at the
+    threshold.
+
+    100 TB shape: Spark computes all 63 bit counts in ONE fused
+    aggregation over a single column-pruned scan (the same
+    multi-aggregate fusion as fused_column_stats) and explodes the
+    63-element result array driver-side — the 63x row blowup exists
+    only in the DuckDB oracle, never in the Spark plan."""
+    _, packed = _phash_parts_sql("spark")
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(F.expr(packed).alias("phash"))
+    aggs = [F.count(F.lit(1)).alias("n")] + [
+        F.sum(
+            F.expr(f"CAST(shiftright(phash, {i}) & 1 AS BIGINT)")
+        ).alias(f"b{i}")
+        for i in range(63)
+    ]
+    row = base.agg(*aggs)
+    arr = row.select(
+        "n", F.array(*[F.col(f"b{i}") for i in range(63)]).alias("a")
+    )
+    exploded = arr.select("n", F.posexplode("a").alias("bit", "ones"))
+    rate = F.floor(F.col("ones") * 1000000.0 / F.col("n")) / 1000000
+    return exploded.select(
+        F.col("bit").cast("long").alias("bit"),
+        F.col("ones"),
+        F.col("n").alias("n_images"),
+        rate.alias("rate"),
+        F.when((rate < 0.35) | (rate > 0.65), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("degenerate"),
+    )
+
+
+# =============================================================================
 # 10. Windowed / ordered operators over the events stream table —
 #     rollups, sessionization, grouped top-k (SURVEY.md §2.2 window
 #     functions + sorts/limits/top-k).
