@@ -79,6 +79,7 @@ HEADLINE = [
     "dedup_minhash_pairs",
     "dedup_minhash_hot_buckets",
     "lsh_verified_pairs",
+    "lsh_containment_pairs",
     "dedup_clusters",
     "dedup_ratio_by_source",
     "dedup_simhash",

@@ -220,8 +220,88 @@ def compile_distinct_overlap_between(index, cfg, schema) -> JobCheck:
     return JobCheck(index=index, config=cfg, run=run)
 
 
+def compile_split_leakage_rate(index, cfg, schema) -> JobCheck:
+    """expect_column_split_leakage_rate_to_be_between: fraction of
+    rows in the eval split — rows where ``eval_condition`` (a Spark
+    SQL boolean expression over this table's columns) is true —
+    whose ``column`` value also occurs in the train split (all other
+    rows). The declarative face of the phash_split_leakage audit:
+    exact train/eval decontamination within ONE table, vs
+    expect_column_distinct_overlap_with_reference's sketch-
+    approximate check across two tables.
+
+    Plan (scale-safe): one column-pruned scan per side (key +
+    condition only), the train side collapses to distinct keys via a
+    map-side-combined hash agg, and the leak check is a left join on
+    the key — AQE broadcasts the distinct side when it fits and
+    falls back to a shuffle-hash join when it does not. No persist:
+    each side is a single cheap scan, and caching a 10^12-row
+    projection would cost more than the second scan. When even the
+    distinct table is too big to shuffle, use the theta-sketch
+    overlap expectation instead (documented approximate fallback).
+    kwargs: column, eval_condition, min_value/max_value/strict_*.
+    """
+    from ..core.result import validate_metric_value_between
+
+    column = cfg.kwargs["column"]
+    eval_condition = cfg.kwargs["eval_condition"]
+    kw = {
+        "min_value": cfg.kwargs.get("min_value"),
+        "max_value": cfg.kwargs.get("max_value"),
+        "strict_min": bool(cfg.kwargs.get("strict_min", False)),
+        "strict_max": bool(cfg.kwargs.get("strict_max", False)),
+    }
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        try:
+            cond = F.expr(eval_condition).cast("boolean")
+        except Exception as exc:  # noqa: BLE001 - surfaced as EVR
+            raise ValueError(
+                f"eval_condition failed to parse: {exc}"
+            ) from exc
+        flagged = df.select(
+            F.col(column).alias("__k"),
+            F.coalesce(cond, F.lit(False)).alias("__ev"),
+        ).where(F.col("__k").isNotNull())
+        train = (
+            flagged.where(~F.col("__ev"))
+            .select("__k")
+            .distinct()
+            .withColumn("__hit", F.lit(1))
+        )
+        ev = flagged.where(F.col("__ev"))
+        agg = (
+            ev.join(train, "__k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("__hit", F.lit(0))).alias("leaked"),
+                F.count_distinct(
+                    F.when(F.col("__hit") == 1, F.col("__k"))
+                ).alias("leaked_keys"),
+            )
+            .first()
+        )
+        n = int(agg["n"] or 0)
+        leaked = int(agg["leaked"] or 0)
+        rate = leaked / n if n else 0.0
+        out = validate_metric_value_between(rate, **kw)
+        return out["success"], {
+            "observed_value": rate,
+            "element_count": n,
+            "details": {
+                "leaked_rows": leaked,
+                "leaked_keys": int(agg["leaked_keys"] or 0),
+                "eval_condition": eval_condition,
+            },
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
 REFERENTIAL_COMPILERS = {
     "expect_foreign_keys_to_exist": compile_foreign_keys_exist,
     "expect_column_distinct_overlap_with_reference_to_be_between":
         compile_distinct_overlap_between,
+    "expect_column_split_leakage_rate_to_be_between":
+        compile_split_leakage_rate,
 }

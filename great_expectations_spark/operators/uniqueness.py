@@ -279,10 +279,106 @@ def compile_phash_near_duplicate_rate(index, cfg, schema) -> JobCheck:
     return JobCheck(index=index, config=cfg, run=run)
 
 
+def compile_duplicate_segment_rate(index, cfg, schema) -> JobCheck:
+    """expect_column_duplicate_segment_rate_to_be_between: the
+    fraction of non-overlapping ``segment_tokens``-token segments of
+    a text column that also occur in at least one OTHER row — the
+    declarative face of the segment_dedup_stats corpus audit
+    (RefinedWeb-style exact-substring duplication pressure).
+    Within-row repetition deliberately does not count (a looping doc
+    is a repetition problem, not a corpus-dedup one).
+
+    Plan (scale-safe): rows get a monotonic id; segments are built
+    with per-row array slices (no shuffle) and md5-hashed AFTER the
+    explode (whole-stage codegen); corpus state is two hash aggs on
+    16-byte keys and one slim join. The (hash, row) aggregate is
+    persisted because it feeds both the rows-per-hash agg and the
+    join probe — without materialization the two subtrees would each
+    re-run the tokenize/explode/hash scan. The final sums are
+    invariant under monotonic-id relabeling (ids are only ever
+    grouped on, never compared across recomputations), so the
+    persist is a cost choice, not a correctness pin. kwargs: column,
+    segment_tokens (default 8), min_value/max_value bounds.
+    """
+    from ..core.result import validate_metric_value_between
+
+    column = cfg.kwargs["column"]
+    seg_len = int(cfg.kwargs.get("segment_tokens", 8))
+    if seg_len < 1:
+        raise ValueError("segment_tokens must be >= 1")
+    kw = {
+        "min_value": cfg.kwargs.get("min_value"),
+        "max_value": cfg.kwargs.get("max_value"),
+        "strict_min": bool(cfg.kwargs.get("strict_min", False)),
+        "strict_max": bool(cfg.kwargs.get("strict_max", False)),
+    }
+
+    def run(df, stats: Dict[str, Any], cache: MetricCache):
+        ids = (
+            df.select(F.col(column).cast("string").alias("txt"))
+            .where(F.col("txt").isNotNull())
+            .withColumn("rid", F.monotonically_increasing_id())
+        )
+        words = ids.select(
+            "rid", F.split(F.col("txt"), " ").alias("w")
+        )
+        inst = (
+            words.where(F.size("w") >= seg_len)
+            .select(
+                "rid",
+                F.explode(
+                    F.expr(
+                        f"transform(sequence(0, CAST(floor(size(w) "
+                        f"/ {seg_len}) AS INT) - 1), "
+                        f"i -> concat_ws(' ', slice(w, "
+                        f"i * {seg_len} + 1, {seg_len})))"
+                    )
+                ).alias("s"),
+            )
+            .select("rid", F.md5("s").alias("h"))
+        )
+        g1 = inst.groupBy("h", "rid").agg(
+            F.count(F.lit(1)).alias("c")
+        ).persist()
+        try:
+            hd = g1.groupBy("h").agg(F.count(F.lit(1)).alias("nrows"))
+            agg = (
+                g1.join(hd, "h")
+                .agg(
+                    F.sum("c").alias("total"),
+                    F.sum(
+                        F.when(
+                            F.col("nrows") >= 2, F.col("c")
+                        ).otherwise(0)
+                    ).alias("dup"),
+                )
+                .first()
+            )
+        finally:
+            g1.unpersist()
+        total = int(agg["total"] or 0)
+        dup = int(agg["dup"] or 0)
+        rate = dup / total if total else 0.0
+        out = validate_metric_value_between(rate, **kw)
+        return out["success"], {
+            "observed_value": rate,
+            "element_count": total,
+            "details": {
+                "duplicate_segments": dup,
+                "segment_tokens": seg_len,
+            },
+        }
+
+    return JobCheck(index=index, config=cfg, run=run)
+
+
 UNIQUE_COMPILERS = {
     "expect_column_values_to_be_unique": compile_values_unique,
     "expect_column_phash_near_duplicate_rate_to_be_between": (
         compile_phash_near_duplicate_rate
+    ),
+    "expect_column_duplicate_segment_rate_to_be_between": (
+        compile_duplicate_segment_rate
     ),
     "expect_compound_columns_to_be_unique": compile_compound_unique,
     # "unique together" with all duplicate instances failed — identical

@@ -1022,6 +1022,100 @@ def lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAIN_TAU = 0.8
+
+_LSH_CONTAINMENT_DUCK = f"""
+    WITH cand AS ({_MINHASH_DUCK_PAIRS}),
+    sh AS ({_SHINGLE_SETS_DUCK}),
+    s AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.shingles, b.shingles)) AS inter,
+             len(a.shingles) AS la,
+             len(b.shingles) AS lb
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           floor(inter * 10000.0 / least(la, lb)) / 10000
+             AS containment,
+           floor(inter * 10000.0 / (la + lb - inter)) / 10000
+             AS jaccard,
+           CAST(CASE WHEN floor(inter * 10000.0 / (la + lb - inter))
+                          / 10000 < {_JACCARD_TAU}
+                THEN 1 ELSE 0 END AS INTEGER) AS jaccard_missed
+    FROM s
+    WHERE inter * 1.0 / least(la, lb) >= {_CONTAIN_TAU}
+"""
+
+
+@register("lsh_containment_pairs", _LSH_CONTAINMENT_DUCK)
+def lsh_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-verified near-duplicate edges: the asymmetric
+    kernel C = |A∩B| / min(|A|, |B|) evaluated on the same LSH
+    candidates as lsh_verified_pairs. Containment catches the
+    duplication Jaccard structurally cannot: a document quoted whole
+    inside a much longer one has C ≈ 1 but Jaccard ≈ |A|/|B| → 0, so
+    a Jaccard-only dedup pass keeps both copies. `jaccard_missed`
+    marks exactly those pairs (containment ≥ 0.8 and Jaccard below
+    the dedup threshold). On the synthetic corpus the flag is
+    legitimately all-zero — its near-dups are similar-length edits —
+    so the flag's semantics are exercised by a planted quote-in-long-
+    doc corpus in tests/test_corpus_audits.py (same convention as
+    pii_scan's digit-free zeros). Ratios are floor-scaled (tie-free
+    across engines, see phash_bit_balance).
+
+    100 TB shape: identical to lsh_verified_pairs — the kernel
+    touches ONLY candidate pairs, shingle sets are built only for
+    candidate-involved docs (semi-join first), and in pipeline mode
+    both verification queries share the one materialized candidate
+    stage. MinHash LSH's collision probability is monotone in
+    Jaccard, not containment, so extreme-skew containment pairs can
+    evade the bands; the phrase-level backstop for those is
+    ngram_contamination's broadcast gram join."""
+    cand = _shared_stage(
+        "cand_pairs", spark, sf_dir,
+        lambda: dedup_minhash_pairs(spark, sf_dir),
+    )
+    ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    d = (
+        _t(spark, sf_dir, "documents")
+        .join(ids, "doc_id")
+        .where(F.size(F.split(F.col("text"), " ")) >= 3)
+    )
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(_spark_shingles_col()).alias("shingles"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sa")
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sb")
+    )
+    j = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    la, lb = F.size("sa"), F.size("sb")
+    containment = F.floor(inter * 10000.0 / F.least(la, lb)) / 10000
+    jac = F.floor(inter * 10000.0 / (la + lb - inter)) / 10000
+    return j.where(
+        inter * 1.0 / F.least(la, lb) >= _CONTAIN_TAU
+    ).select(
+        "doc_a",
+        "doc_b",
+        containment.alias("containment"),
+        jac.alias("jaccard"),
+        F.when(jac < _JACCARD_TAU, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("jaccard_missed"),
+    )
+
+
 # Min-label propagation: each round spreads the component minimum one
 # hop, so the clustering is exact once no label changes — the loop
 # checks convergence after every round (one slim count over the two

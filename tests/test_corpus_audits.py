@@ -208,3 +208,192 @@ def test_phash_bit_balance_matches_python(spark):
         assert r.degenerate == int(rate < 0.35 or rate > 0.65)
     # packed phash is 63 bits; the audit must cover every one exactly once
     assert len(out) == 63
+
+
+# --- declarative faces ---------------------------------------------------------
+
+
+def test_duplicate_segment_rate_expectation(spark):
+    """Planted corpus: rows 1+2 share one exact 8-token segment (both
+    instances count), row 3 repeats a segment within itself only (not
+    corpus duplication), row 4 is too short for any segment. 2 of 5
+    segment instances duplicated -> rate 0.4; bounds flip success."""
+    import great_expectations_spark as ges
+
+    shared = "a b c d e f g h"
+    loop8 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    df = spark.createDataFrame(
+        [
+            (shared + " u1 u2 u3 u4 u5 u6 u7 u8",),
+            (shared,),
+            (loop8 + " " + loop8,),
+            ("p q r",),
+            (None,),
+        ],
+        "text string",
+    )
+    ok = ges.validate(
+        df,
+        ges.suite("seg").expect(
+            "expect_column_duplicate_segment_rate_to_be_between",
+            column="text", max_value=0.4,
+        ),
+    ).results[0]
+    assert ok.success
+    assert abs(ok.result["observed_value"] - 0.4) < 1e-9
+    assert ok.result["element_count"] == 5
+    assert ok.result["details"]["duplicate_segments"] == 2
+
+    bad = ges.validate(
+        df,
+        ges.suite("seg").expect(
+            "expect_column_duplicate_segment_rate_to_be_between",
+            column="text", max_value=0.3,
+        ),
+    ).results[0]
+    assert not bad.success
+
+
+def test_duplicate_segment_rate_custom_segment_tokens(spark):
+    """segment_tokens=2: 'a b' occurs in two rows -> both instances
+    duplicated; the second row's trailing odd token is no segment."""
+    import great_expectations_spark as ges
+
+    df = spark.createDataFrame(
+        [("a b c d",), ("a b e",)], "text string"
+    )
+    r = ges.validate(
+        df,
+        ges.suite("seg2").expect(
+            "expect_column_duplicate_segment_rate_to_be_between",
+            column="text", segment_tokens=2, max_value=1.0,
+        ),
+    ).results[0]
+    # segments: (a b), (c d) from row 1; (a b) from row 2 -> 2/3 dup
+    assert r.result["element_count"] == 3
+    assert r.result["details"]["duplicate_segments"] == 2
+    assert abs(r.result["observed_value"] - 2 / 3) < 1e-9
+
+
+def test_split_leakage_rate_expectation(spark):
+    """Keys 1,3 leak from eval into train; key 5 is eval-only; null
+    keys are ignored on both sides. leaked 2 of 3 eval rows."""
+    import great_expectations_spark as ges
+
+    rows = [
+        # (key, part)   train: part <> 'eval'
+        (1, "train"), (2, "train"), (3, "train"), (None, "train"),
+        (1, "eval"), (3, "eval"), (5, "eval"), (None, "eval"),
+    ]
+    df = spark.createDataFrame(rows, "k long, part string")
+    ok = ges.validate(
+        df,
+        ges.suite("leak").expect(
+            "expect_column_split_leakage_rate_to_be_between",
+            column="k", eval_condition="part = 'eval'",
+            max_value=2 / 3,
+        ),
+    ).results[0]
+    assert ok.success
+    assert abs(ok.result["observed_value"] - 2 / 3) < 1e-9
+    assert ok.result["element_count"] == 3
+    assert ok.result["details"]["leaked_rows"] == 2
+    assert ok.result["details"]["leaked_keys"] == 2
+
+    bad = ges.validate(
+        df,
+        ges.suite("leak").expect(
+            "expect_column_split_leakage_rate_to_be_between",
+            column="k", eval_condition="part = 'eval'",
+            max_value=0.5,
+        ),
+    ).results[0]
+    assert not bad.success
+
+
+def test_split_leakage_matches_audit_query(spark):
+    """The declarative face and the phash_split_leakage audit agree on
+    real data: overall leaked/eval from the expectation equals the
+    audit's per-source rows summed."""
+    import great_expectations_spark as ges
+    from great_expectations_spark.suite_queries import (
+        _hexval_sql,
+        _phash_parts_sql,
+    )
+    from pyspark.sql import functions as F
+
+    _, packed = _phash_parts_sql("spark")
+    sk = _hexval_sql("CAST(doc_id AS STRING)", "spark")
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.expr(packed).alias("phash"),
+        (F.expr(sk) % 5 == 0).alias("is_eval"),
+    )
+    r = ges.validate(
+        d,
+        ges.suite("leak").expect(
+            "expect_column_split_leakage_rate_to_be_between",
+            column="phash", eval_condition="is_eval", max_value=1.0,
+        ),
+    ).results[0]
+    audit = sq.phash_split_leakage(spark, SF).collect()
+    ev = sum(x.eval_images for x in audit)
+    leaked = sum(x.leaked_images for x in audit)
+    assert r.result["element_count"] == ev
+    assert r.result["details"]["leaked_rows"] == leaked
+    assert abs(r.result["observed_value"] - leaked / ev) < 1e-9
+
+
+# --- lsh_containment_pairs ------------------------------------------------------
+
+
+def test_containment_catches_jaccard_missed_quote(spark, tmp_path):
+    """A 12-token doc quoted verbatim at the head of a 42-token doc:
+    containment 1.0 but Jaccard 0.25 — below the dedup threshold, so
+    lsh_verified_pairs keeps both copies while lsh_containment_pairs
+    flags the pair as jaccard_missed. The suffix seed (s1_*) was
+    chosen so the pair shares an LSH band (minhash collision
+    probability tracks Jaccard, so a contained-but-dissimilar pair is
+    only PROBABLY a candidate; this corpus is a verified collision)."""
+    quote = "q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12"
+    suffix = " ".join(f"s1_{k}" for k in range(30))
+    df = spark.createDataFrame(
+        [
+            (1, quote, "en", "srcQ", len(quote)),
+            (2, quote + " " + suffix, "en", "srcL", 0),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    d = str(tmp_path / "sfq")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        d + "/documents.parquet"
+    )
+    got = sq.lsh_containment_pairs(spark, d).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.containment == 1.0
+    assert r.jaccard == 0.25
+    assert r.jaccard_missed == 1
+    # the Jaccard-threshold verifier misses exactly this pair
+    assert sq.lsh_verified_pairs(spark, d).collect() == []
+
+
+def test_containment_real_corpus_consistency(spark):
+    """On real data: containment >= jaccard always; every verified
+    Jaccard edge with containment >= tau appears here too."""
+    cont = {
+        (r.doc_a, r.doc_b): r
+        for r in sq.lsh_containment_pairs(spark, SF).collect()
+    }
+    for r in cont.values():
+        assert r.containment >= r.jaccard
+        assert r.containment >= 0.8
+    ver = {
+        (r.doc_a, r.doc_b)
+        for r in sq.lsh_verified_pairs(spark, SF).collect()
+    }
+    # jaccard_missed pairs are exactly the containment pairs absent
+    # from the Jaccard-verified edge set
+    for key, r in cont.items():
+        assert (key not in ver) == bool(r.jaccard_missed)
