@@ -594,12 +594,20 @@ _BANDS = 4
 
 
 def _spark_shingles_col():
+    # Empty for docs under 3 tokens — the DuckDB twin's range(n-2)
+    # yields [] there, but Spark's sequence(0, n-3) would DESCEND
+    # into negative indices and slice(words, 0, ...) throws
+    # (INVALID_PARAMETER_VALUE.START, found by the oracle fuzz gate
+    # on 1- and 2-token docs).
     words = F.split(F.col("text"), " ")
     n = F.size(words)
-    return F.transform(
-        F.sequence(F.lit(0), n - F.lit(3)),
-        lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(3))),
-    )
+    return F.when(
+        n >= F.lit(3),
+        F.transform(
+            F.sequence(F.lit(0), n - F.lit(3)),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(3))),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
 
 
 _MINHASH_DUCK_SIGS = """
@@ -1557,7 +1565,10 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("a.doc_id").alias("doc_a"),
         F.col("b.doc_id").alias("doc_b"),
-        F.round(inter / union, 4).alias("jaccard"),
+        # try_divide: two shingle-less docs (under 3 tokens each)
+        # union to 0, which must be NULL — the DuckDB 0/0 result —
+        # not an ANSI DIVIDE_BY_ZERO error
+        F.round(F.try_divide(inter, union), 4).alias("jaccard"),
     )
 
 

@@ -1,0 +1,232 @@
+"""Differential fuzz gate: seeded random corpora pushed through every
+documents-only registered query on BOTH engines — the Spark
+implementation from `queries()` and its DuckDB `oracle_sql()` — and
+compared with the driver gate's own comparator (tools/check_oracle's
+norm_rows + strict dtype check). The fixed testdata corpus can only
+exercise the value distributions its generator emits; these corpora
+plant the adversarial shapes the audits exist for (exact/near dups,
+quote-in-long-doc containment, within-doc repetition, shared 8-token
+segments, 1-token docs, consecutive/leading spaces, unicode tokens,
+skewed sources) on randomized ids/sources/langs, so any
+engine-vs-oracle divergence that depends on data shape — rounding at
+ties, empty-group handling, empty-token hashing, absent-source rows —
+fails here before the driver gate can meet it.
+
+The query list is derived, not hardcoded: every registered oracle
+whose SQL references only the `documents` view joins the gate
+automatically when added."""
+
+import math
+import os
+import random
+import re
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry  # noqa: E402
+from tools.check_oracle import check_types, norm_rows  # noqa: E402
+
+_OTHER_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "embeddings"
+).split()
+
+
+def _documents_only_queries():
+    oracles = entry.oracle_sql()
+    names = []
+    for name, sql in oracles.items():
+        if "documents" not in sql:
+            continue
+        if any(re.search(r"\b" + t + r"\b", sql) for t in _OTHER_TABLES):
+            continue
+        names.append(name)
+    return names
+
+
+_VOCAB = (
+    "the a data spark table row column scan join merge sort hash "
+    "filter window batch stream key value query group agg part line "
+    "order small big fast slow dup vector customer"
+).split()
+
+# tokens that stress hashing/normalization symmetry between engines:
+# unicode (multi-byte UTF-8 md5 input), case variants, punctuation
+# glued to words, digits, and a long token
+_ODD_TOKENS = [
+    "naïve",
+    "東京",
+    "🙂",
+    "UPPER",
+    "MiXeD",
+    "123",
+    "comma,token",
+    "dot.token",
+    "x" * 48,
+]
+
+_LANGS = ["en", "es", "zh", "de", "fr"]
+_SOURCES = ["src0", "src1", "src2", "src3"]
+
+
+def _gen_corpus(seed: int):
+    """~80 docs: structured plants + random filler, with the
+    invariants the real generator keeps (n_chars == len(text),
+    non-null text, src\\d+ source names)."""
+    rng = random.Random(seed)
+    ids = rng.sample(range(0, 5000), 200)
+    next_id = iter(ids).__next__
+
+    def rand_words(n):
+        ws = []
+        for _ in range(n):
+            if rng.random() < 0.06:
+                ws.append(rng.choice(_ODD_TOKENS))
+            else:
+                ws.append(rng.choice(_VOCAB))
+        return ws
+
+    texts = []
+
+    # exact-duplicate pair and triple (cross-source)
+    t_dup = " ".join(rand_words(rng.randint(12, 30)))
+    texts += [t_dup, t_dup]
+    t_tri = " ".join(rand_words(rng.randint(12, 30)))
+    texts += [t_tri, t_tri, t_tri]
+
+    # near-duplicate pair: one token substituted
+    base = rand_words(rng.randint(20, 32))
+    edited = list(base)
+    edited[rng.randrange(len(edited))] = "EDITED"
+    texts += [" ".join(base), " ".join(edited)]
+
+    # containment plant: short doc quoted whole inside a long one
+    quote = rand_words(9)
+    long_doc = rand_words(25) + quote + rand_words(25)
+    texts += [" ".join(quote), " ".join(long_doc)]
+
+    # within-doc repetition (one token dominating)
+    texts.append(" ".join(["loop"] * rng.randint(25, 45)))
+
+    # shared 8-token segment across two otherwise-different docs
+    seg = rand_words(8)
+    texts.append(" ".join(seg + rand_words(10)))
+    texts.append(" ".join(rand_words(7) + seg))
+
+    # degenerate lengths and whitespace shapes: 1-token, 2-token,
+    # consecutive spaces (empty token mid-split), leading space
+    texts += ["solo", "two tokens", "a  b c", " lead token"]
+
+    # unicode-heavy doc
+    texts.append(" ".join(rng.choices(_ODD_TOKENS, k=12)))
+
+    # random filler
+    for _ in range(60):
+        texts.append(" ".join(rand_words(rng.randint(3, 70))))
+
+    rows = []
+    for text in texts:
+        rows.append(
+            (
+                next_id(),
+                text,
+                rng.choice(_LANGS),
+                # skewed: src0 hot
+                rng.choices(_SOURCES, weights=[5, 2, 2, 1])[0],
+                len(text),
+            )
+        )
+    rng.shuffle(rows)
+    return rows
+
+
+def _compare(name, sdf, con, oracle_sql):
+    """One query, both engines, driver-gate comparison. Returns None
+    on match, else a short failure description."""
+    try:
+        scols = sdf.columns
+        sdtypes = sdf.dtypes
+        srows = [tuple(r) for r in sdf.collect()]
+    except Exception as exc:  # noqa: BLE001
+        return f"{name}: spark error: {exc}"
+    try:
+        res = con.sql(oracle_sql)
+        dcols = res.columns
+        dtypes_ = res.types
+        drows = [tuple(r) for r in res.fetchall()]
+    except Exception as exc:  # noqa: BLE001
+        return f"{name}: duckdb error: {exc}"
+    sc, sr = norm_rows(scols, srows)
+    dc, dr = norm_rows(dcols, drows)
+    if sc != dc:
+        return f"{name}: columns {sc} vs {dc}"
+    bad_types = check_types(name, scols, sdtypes, dcols, dtypes_)
+    if bad_types:
+        return f"{name}: dtypes {'; '.join(bad_types)}"
+    if len(sr) != len(dr):
+        return f"{name}: rows {len(sr)} vs {len(dr)}"
+    mism = [(a, b) for a, b in zip(sr, dr) if a != b]
+    if mism:
+        return (
+            f"{name}: {len(mism)}/{len(sr)} value mismatches; first "
+            f"spark={mism[0][0]} duck={mism[0][1]}"
+        )
+    return None
+
+
+@pytest.mark.parametrize("seed", [11, 23, 47])
+def test_fuzz_documents_queries(spark, tmp_path, seed):
+    rows = _gen_corpus(seed)
+    # sanity: the plants survived generation
+    assert len(rows) >= 75
+    assert len({r[0] for r in rows}) == len(rows)
+    assert all(r[4] == len(r[1]) for r in rows)
+
+    d = str(tmp_path / f"fuzz{seed}")
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    # several files so per-partition paths (minhash partials, segment
+    # explodes) actually merge across partitions
+    df.coalesce(3).write.mode("overwrite").parquet(
+        d + "/documents.parquet"
+    )
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = _documents_only_queries()
+    # the derivation must keep covering the audit families — if this
+    # shrinks, the fuzz gate silently lost surface
+    assert len(names) >= 35
+
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY; DuckDB reads it via glob
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"
+    )
+    failures = []
+    for name in names:
+        err = _compare(name, qs[name](spark, d), con, oracles[name])
+        if err:
+            failures.append(err)
+    con.close()
+    assert not failures, "\n".join(failures)
+
+
+def test_fuzz_norm_rows_float_nan():
+    """The comparator itself: NaN normalizes to a stable token and
+    floats compare at 9 decimals (the driver hashes the same way)."""
+    cols, rows = norm_rows(
+        ["b", "a"], [(float("nan"), 1), (0.1234567894, 2)]
+    )
+    assert cols == ["a", "b"]
+    assert rows[0] == (1, "NaN")
+    assert rows[1][1] == round(0.1234567894, 9)
+    assert not math.isnan(rows[1][1])
