@@ -1780,8 +1780,15 @@ def _vec_dot(x, y):
 
 
 def _vec_cos(x, y):
-    return _vec_dot(x, y) / (
-        F.sqrt(_vec_dot(x, x)) * F.sqrt(_vec_dot(y, y))
+    # try_divide, not /: a zero-norm (dead) embedding's cosine is
+    # undefined, and under Spark 4's default ANSI mode a plain
+    # division would abort the WHOLE job on one such row at corpus
+    # scale. NULL sims sort last under the desc top-k orderings, so
+    # dead vectors simply never rank; embedding_norm_stats is the
+    # query that surfaces them.
+    return F.try_divide(
+        _vec_dot(x, y),
+        F.sqrt(_vec_dot(x, x)) * F.sqrt(_vec_dot(y, y)),
     )
 
 
@@ -1959,8 +1966,10 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus norm is computed once per row, not once per (row, query)
     q = q.withColumn("qnorm", F.sqrt(_vec_dot(F.col("qv"), F.col("qv"))))
     c = c.withColumn("cnorm", F.sqrt(_vec_dot(F.col("cv"), F.col("cv"))))
-    sim = _vec_dot(F.col("qv"), F.col("cv")) / (
-        F.col("qnorm") * F.col("cnorm")
+    # try_divide for the same dead-vector reason as _vec_cos
+    sim = F.try_divide(
+        _vec_dot(F.col("qv"), F.col("cv")),
+        F.col("qnorm") * F.col("cnorm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -2317,9 +2326,9 @@ def _kmeans_assign(ev: DataFrame, cent: DataFrame) -> DataFrame:
         "vec_id",
         "v",
         "cid",
-        (
-            _vec_dot(F.col("v"), F.col("cvec"))
-            / (F.col("vnorm") * F.col("cnorm"))
+        F.try_divide(
+            _vec_dot(F.col("v"), F.col("cvec")),
+            F.col("vnorm") * F.col("cnorm"),
         ).alias("sim"),
     )
     best = scored.groupBy("vec_id").agg(

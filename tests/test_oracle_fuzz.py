@@ -220,6 +220,206 @@ def test_fuzz_documents_queries(spark, tmp_path, seed):
     assert not failures, "\n".join(failures)
 
 
+def _single_table_queries(table: str):
+    others = [
+        t
+        for t in (
+            "region nation customer supplier part orders lineitem "
+            "events documents embeddings"
+        ).split()
+        if t != table
+    ]
+    out = []
+    for name, sql in entry.oracle_sql().items():
+        if not re.search(r"\b" + table + r"\b", sql):
+            continue
+        if any(re.search(r"\b" + t + r"\b", sql) for t in others):
+            continue
+        out.append(name)
+    return out
+
+
+def _gen_events(seed: int):
+    """~350 events / 12 users with the boundary shapes the window
+    queries decide on: identical timestamps (event_id tie-break),
+    gaps of exactly 1800 s and 1801 s (the strict > 30-min session
+    rule), exact hour-boundary timestamps (date_trunc edges), equal
+    values within one event_type (top-k tie-break), negative and
+    >500 values (bucket floor / cap paths), and malformed props."""
+    import datetime as dt
+
+    rng = random.Random(seed)
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    types = ["click", "view", "purchase", "signup", "error"]
+    rows = []
+    eid = 0
+
+    def emit(ts, user, etype=None, value=None, props=None):
+        nonlocal eid
+        if etype is None:
+            etype = rng.choices(types, weights=[30, 25, 20, 15, 10])[0]
+        if value is None:
+            r = rng.random()
+            if r < 0.05:
+                value = rng.uniform(-80, 0)
+            elif r < 0.10:
+                value = rng.uniform(500, 900)
+            else:
+                value = rng.uniform(0, 500)
+        if props is None:
+            r = rng.random()
+            if r < 0.85:
+                props = '{"k": %d}' % rng.randrange(1000)
+            else:
+                props = rng.choice(
+                    ['oops', '{"k": -3}', '{"j": 5}', '{"k":7}',
+                     '{"k": 12 }', '']
+                )
+        rows.append((eid, ts, user, etype, value, props))
+        eid += 1
+
+    # user 1: identical-timestamp pair (window order falls back to
+    # event_id) and an exact hour-boundary event
+    t = base + dt.timedelta(minutes=7)
+    emit(t, 1)
+    emit(t, 1)
+    emit(dt.datetime(2024, 1, 1, 3, 0, 0), 1)
+    # user 2: gap of exactly 1800 s (same session under strict >)
+    # then exactly 1801 s (new session)
+    t = base + dt.timedelta(hours=1)
+    emit(t, 2)
+    emit(t + dt.timedelta(seconds=1800), 2)
+    emit(t + dt.timedelta(seconds=1800 + 1801), 2)
+    # equal values inside one event_type: top-3 must tie-break
+    for _ in range(4):
+        emit(
+            base + dt.timedelta(minutes=rng.randrange(10000)),
+            rng.randrange(1, 13),
+            etype="click",
+            value=777.25,
+        )
+    # random bulk, per-user increasing timestamps
+    for user in range(1, 13):
+        t = base + dt.timedelta(minutes=rng.randrange(240))
+        for _ in range(rng.randint(18, 32)):
+            t = t + dt.timedelta(seconds=rng.randrange(10, 4000))
+            emit(t, user)
+    rng.shuffle(rows)
+    return rows
+
+
+def _gen_embeddings(seed: int, dim: int = 16):
+    """~150 vectors: a hot label holding well over the 64-member
+    hub-star cap, an exact-duplicate pair, a near-duplicate pair, a
+    tiny-magnitude vector and a huge one. Zero vectors are excluded
+    here (cosine against them is undefined; the engines' NULL vs
+    -1.0 conventions differ) — test_zero_vector_does_not_crash
+    covers that contract Spark-side."""
+    import numpy as np
+
+    rng = random.Random(seed)
+
+    def vec(scale=0.15):
+        return [
+            float(np.float32(rng.gauss(0, scale))) for _ in range(dim)
+        ]
+
+    n = 150
+    rows = []
+    for vid in range(n):
+        # label 0 hot: ~55% of rows -> > 64 members, hub-star path
+        lab = 0 if rng.random() < 0.55 else rng.randrange(1, 8)
+        rows.append((vid, vec(), lab))
+    # exact duplicate pair inside the hot label
+    rows[3] = (3, rows[77][1], 0)
+    rows[77] = (77, rows[77][1], 0)
+    # near-duplicate pair (perturb one coordinate by 1e-3)
+    v = list(rows[88][1])
+    v[0] = float(np.float32(v[0] + 1e-3))
+    rows[5] = (5, v, rows[88][2])
+    # magnitude extremes
+    rows[120] = (120, [float(np.float32(1e-6))] * dim, 2)
+    rows[121] = (121, [float(np.float32(50.0))] * dim, 3)
+    return rows
+
+
+def _run_table_fuzz(spark, tmp_path, table, schema, rows, seed):
+    d = str(tmp_path / f"fuzz_{table}_{seed}")
+    spark.createDataFrame(rows, schema).coalesce(3).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/{table}.parquet")
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"'{d}/{table}.parquet/*.parquet'"
+    )
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = _single_table_queries(table)
+    failures = []
+    for name in names:
+        err = _compare(name, qs[name](spark, d), con, oracles[name])
+        if err:
+            failures.append(err)
+    con.close()
+    return names, failures
+
+
+@pytest.mark.parametrize("seed", [5, 31])
+def test_fuzz_events_queries(spark, tmp_path, seed):
+    rows = _gen_events(seed)
+    names, failures = _run_table_fuzz(
+        spark,
+        tmp_path,
+        "events",
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+        rows,
+        seed,
+    )
+    assert len(names) >= 8
+    assert not failures, "\n".join(failures)
+
+
+@pytest.mark.parametrize("seed", [7, 29])
+def test_fuzz_embeddings_queries(spark, tmp_path, seed):
+    rows = _gen_embeddings(seed)
+    names, failures = _run_table_fuzz(
+        spark,
+        tmp_path,
+        "embeddings",
+        "vec_id long, embedding array<float>, label int",
+        rows,
+        seed,
+    )
+    assert len(names) >= 8
+    assert not failures, "\n".join(failures)
+
+
+def test_zero_vector_does_not_crash(spark, tmp_path):
+    """A dead (all-zero) embedding must not abort similarity queries
+    under ANSI mode (try_divide -> NULL sim, sorts last in every
+    desc top-k), must never rank as a neighbor, and must show up in
+    embedding_norm_stats' zero-vector counter."""
+    from great_expectations_spark import suite_queries as sq
+
+    rows = _gen_embeddings(99)
+    rows[60] = (60, [0.0] * 16, 4)
+    d = str(tmp_path / "zerovec")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).coalesce(2).write.mode("overwrite").parquet(
+        d + "/embeddings.parquet"
+    )
+    topk = sq.embedding_cosine_topk(spark, d).collect()
+    assert topk and all(r.neighbor_id != 60 for r in topk)
+    assert sq.ann_ivf_topk(spark, d).count() > 0
+    assert sq.ann_kmeans_topk(spark, d).count() > 0
+    assert sq.dedup_embedding_neardup(spark, d).count() >= 0
+    norm = sq.embedding_norm_stats(spark, d).collect()[0]
+    assert norm.zero_vectors == 1
+
+
 def test_fuzz_norm_rows_float_nan():
     """The comparator itself: NaN normalizes to a stable token and
     floats compare at 9 decimals (the driver hashes the same way)."""
