@@ -220,7 +220,13 @@ def compile_metadata_quality_gate(index, cfg, schema) -> MapCheck:
     cap_len = F.length(F.coalesce(F.col(cap_col), F.lit("")))
     fail = (
         (F.least(w, h) < F.lit(min_side))
-        | (F.greatest(w, h) / F.least(w, h) > F.lit(max_aspect))
+        # try_divide: a zero side must fail the gate (the min_side
+        # term or the null-coalesce below catches it), never abort
+        # the job under ANSI mode
+        | (
+            F.try_divide(F.greatest(w, h), F.least(w, h))
+            > F.lit(max_aspect)
+        )
         | (~F.col(fmt_col).isin(*formats))
         | (cap_len < F.lit(int(cap_min)))
         | (cap_len > F.lit(int(cap_max)))

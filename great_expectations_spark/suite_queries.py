@@ -426,7 +426,13 @@ def zscore_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.crossJoin(F.broadcast(s))
         .where(
-            F.abs((F.col("value") - F.col("mu")) / F.col("sigma")) > 2.8
+            # try_divide: a constant column (sigma 0) must yield zero
+            # violations (NULL > 2.8 filters out, the oracle's x/0
+            # NULL), not an ANSI job abort
+            F.abs(
+                F.try_divide(F.col("value") - F.col("mu"), F.col("sigma"))
+            )
+            > 2.8
         )
         .select("event_id")
     )
@@ -478,9 +484,11 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = binned.agg(
         F.sum("a_cnt").alias("a_tot"), F.sum("b_cnt").alias("b_tot")
     )
+    # try_divide: an EMPTY cohort (no rows of one event_type) must
+    # yield a NULL psi — the oracle's x/0 — not abort the monitor
     fracs = binned.crossJoin(F.broadcast(tot)).select(
-        (F.col("a_cnt") / F.col("a_tot") + 1e-6).alias("a_frac"),
-        (F.col("b_cnt") / F.col("b_tot") + 1e-6).alias("b_frac"),
+        (F.try_divide("a_cnt", "a_tot") + 1e-6).alias("a_frac"),
+        (F.try_divide("b_cnt", "b_tot") + 1e-6).alias("b_frac"),
     )
     return fracs.agg(
         F.round(
@@ -537,8 +545,13 @@ def ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cdf = (
         binned.crossJoin(F.broadcast(tot))
         .select(
-            (F.sum("a_cnt").over(w) / F.col("a_tot")).alias("a_cdf"),
-            (F.sum("b_cnt").over(w) / F.col("b_tot")).alias("b_cdf"),
+            # try_divide: empty-cohort robustness, same as psi_drift
+            F.try_divide(F.sum("a_cnt").over(w), F.col("a_tot")).alias(
+                "a_cdf"
+            ),
+            F.try_divide(F.sum("b_cnt").over(w), F.col("b_tot")).alias(
+                "b_cdf"
+            ),
         )
     )
     return cdf.agg(
@@ -2589,8 +2602,10 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "returned",
             "hits",
             "exact_neighbors",
+            # try_divide: a method with zero exact neighbors (tiny
+            # or degenerate corpus) reports NULL recall, not a crash
             F.round(
-                F.col("hits") / F.col("exact_neighbors"), 4
+                F.try_divide("hits", "exact_neighbors"), 4
             ).alias("recall"),
         )
     )
@@ -3978,7 +3993,11 @@ def image_gate_flags(
     w, h = F.col(w_col), F.col(h_col)
     cap_len = F.length(F.coalesce(F.col(caption_col), F.lit("")))
     f_side = F.least(w, h) < min_side
-    f_aspect = F.greatest(w, h) / F.least(w, h) > max_aspect
+    # try_divide: a corrupt row with a zero side must FAIL the gate
+    # (f_side catches it), not abort the job under ANSI mode
+    f_aspect = (
+        F.try_divide(F.greatest(w, h), F.least(w, h)) > max_aspect
+    )
     f_fmt = ~F.col(fmt_col).isin(*formats)
     f_cap = (cap_len < caption_chars[0]) | (cap_len > caption_chars[1])
     return df.select(

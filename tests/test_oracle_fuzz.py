@@ -420,6 +420,58 @@ def test_zero_vector_does_not_crash(spark, tmp_path):
     assert norm.zero_vectors == 1
 
 
+def test_zero_side_image_gate_does_not_crash(spark):
+    """A corrupt metadata row (w=0) must FAIL the gate, not abort the
+    job with an ANSI divide-by-zero in the aspect-ratio rule — both
+    in the helper and in the declarative expectation."""
+    import great_expectations_spark as ges
+    from great_expectations_spark.suite_queries import image_gate_flags
+
+    df = spark.createDataFrame(
+        [
+            (1, 0, 32, "jpeg", "c" * 200),
+            (2, 32, 32, "jpeg", "c" * 200),
+        ],
+        "image_id long, w int, h int, fmt string, caption string",
+    )
+    out = {r.image_id: r for r in image_gate_flags(df).collect()}
+    assert out[1].keep is False and out[1].f_min_side is True
+    assert out[2].keep is True
+
+    suite = ges.suite("gate").expect(
+        "expect_image_metadata_to_pass_quality_gate", min_side=16
+    )
+    res = ges.validate(df, suite)
+    evr = res.results[0]
+    assert evr.result["unexpected_count"] == 1
+
+
+def test_empty_cohort_drift_does_not_crash(spark, tmp_path):
+    """psi_drift / ks_statistic with one cohort entirely absent must
+    return the oracle's NULL metric, not abort; zscore on a constant
+    value column must return zero violations."""
+    import datetime as dt
+
+    from great_expectations_spark import suite_queries as sq
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i), 1,
+         "click", 100.0, '{"k": 1}')
+        for i in range(20)
+    ]
+    d = str(tmp_path / "onecohort")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(d + "/events.parquet")
+    psi = sq.psi_drift(spark, d).collect()
+    assert len(psi) == 1 and psi[0].psi is None
+    ks = sq.ks_statistic(spark, d).collect()
+    assert len(ks) == 1 and ks[0].ks_stat is None
+    assert sq.zscore_violations(spark, d).count() == 0
+
+
 def test_fuzz_norm_rows_float_nan():
     """The comparator itself: NaN normalizes to a stable token and
     floats compare at 9 decimals (the driver hashes the same way)."""
