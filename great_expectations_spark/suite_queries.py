@@ -614,13 +614,18 @@ def _spark_shingles_col():
     # on 1- and 2-token docs).
     words = F.split(F.col("text"), " ")
     n = F.size(words)
+    # NULL text stays NULL (not []): every caller filters on token
+    # count >= 3 first, so a NULL row must keep looking like the
+    # DuckDB twin's WHERE-filtered row, not an empty-shingle doc
     return F.when(
         n >= F.lit(3),
         F.transform(
             F.sequence(F.lit(0), n - F.lit(3)),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(3))),
         ),
-    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    ).when(
+        words.isNotNull(), F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
 
 
 _MINHASH_DUCK_SIGS = """
@@ -959,9 +964,9 @@ def dedup_minhash_hot_buckets(
 # Candidates (dedup_minhash_pairs) -> Jaccard-verified edges -> connected
 # components -> one canonical keeper per cluster. This is the shape of an
 # actual training-data dedup run: the pairwise kernel touches ONLY the
-# LSH candidates (never all-pairs), and the clustering is a fixed number
-# of min-label propagation rounds — each round one slim join + map-side
-# min agg, no driver-side loop over collected edges.
+# LSH candidates (never all-pairs), and the clustering is O(log n)
+# rounds of large-star/small-star contraction — each round two slim
+# min aggs + dedups, no driver-side loop over collected edges.
 
 _JACCARD_TAU = 0.4
 
@@ -1137,15 +1142,17 @@ def lsh_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Min-label propagation: each round spreads the component minimum one
-# hop, so the clustering is exact once no label changes — the loop
-# checks convergence after every round (one slim count over the two
-# materialized label tables, same cost class as the round itself) and
-# stops. LSH graphs are star-dominated (hub pairs from the bucket
-# cap, all-pairs cliques below it): observed diameters are <=4, so
-# the typical run is diameter+1 rounds; _CC_MAX_ROUNDS bounds a
-# pathological chain-shaped corpus, and the SQL oracle (exact
-# transitive closure) catches any graph whose diameter exceeds it.
+# Alternating large-star/small-star contraction (Kiveris et al.,
+# SoCC'14): each round hop-doubles paths toward the component
+# minimum, so convergence is O(log n) rounds even on a chain-shaped
+# corpus (one-hop min-label propagation, the previous build, needed
+# O(diameter)). The loop checks the edge-set fixpoint after every
+# round (one count + one anti-join over the two checkpointed edge
+# tables, same cost class as the round itself) and stops. LSH graphs
+# are star-dominated (hub pairs from the bucket cap, all-pairs
+# cliques below it): observed convergence is <=3 rounds;
+# _CC_MAX_ROUNDS bounds pathology, and the SQL oracle (exact
+# transitive closure) catches any graph that somehow exceeds it.
 _CC_ROUNDS = 8  # fixed-round mode for tests; see min_label_components
 _CC_MAX_ROUNDS = 32
 
@@ -1193,7 +1200,7 @@ def _driver_union_find(
     """Exact connected components for a SMALL edge list on the driver:
     classic union-find with path compression + union by size, then
     each vertex labeled with its component's minimum id — identical
-    semantics to min-label propagation at any diameter. Driver memory
+    semantics to star contraction at any diameter. Driver memory
     is bounded by the caller's edge cap (two ids per edge); the
     result is a tiny label table the corpus join broadcasts."""
     parent: dict = {}
@@ -1247,6 +1254,44 @@ def _driver_union_find(
     )
 
 
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star operation (Kiveris/Lattanzi/Mirrokni/Rastogi/
+    Vassilvitskii, "Connected Components in MapReduce and Beyond",
+    SoCC'14): each node links its strictly-LARGER neighbors to the
+    minimum of its closed neighborhood. Reads (u, v) symmetrically;
+    every output edge points larger -> smaller, so no self-loops.
+    One shuffle for the per-node min (map-side partial), one for the
+    dedup — both O(edges)."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(F.min("v").alias("nbr_min"))
+    m = F.least(F.col("u"), F.col("nbr_min"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), m.alias("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star operation: orient every edge larger -> smaller,
+    then each node relinks its smaller neighbors (and itself) to the
+    minimum among them. Output edges also point larger -> smaller."""
+    o = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    )
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    relink = (
+        o.join(mins, "u")
+        .where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    center = mins.select("u", F.col("m").alias("v"))
+    return relink.unionByName(center).distinct()
+
+
 def min_label_components(
     pairs: DataFrame,
     nodes: DataFrame,
@@ -1254,19 +1299,28 @@ def min_label_components(
     max_rounds: int = _CC_MAX_ROUNDS,
     driver_max_edges: Optional[int] = _CC_DRIVER_MAX_EDGES,
     pairs_materialized: bool = False,
+    stats: Optional[dict] = None,
 ) -> DataFrame:
-    """Connected components by min-label propagation over undirected
-    `pairs` (doc_a, doc_b); `nodes` supplies the full vertex domain
-    (doc_id) so isolated vertices become their own component. Each
-    round spreads the component minimum ONE hop; by default the loop
-    stops as soon as a round changes no label (convergence == exact
-    components for any diameter <= max_rounds), so the typical cost
-    is diameter+1 rounds. Pass `rounds` for a fixed budget instead
-    (exact only when rounds >= diameter — the boundary tests use
-    this). Rounds are one slim join + a map-side-combined min agg
-    each; lineage is truncated per round with localCheckpoint —
-    without that, round k's plan embeds the edge pipeline k more
-    times and Catalyst blows the driver heap before any task runs.
+    """Connected components over undirected `pairs` (doc_a, doc_b) by
+    ALTERNATING large-star / small-star contraction (Kiveris et al.,
+    SoCC'14 — the O(log n)-round algorithm); `nodes` supplies the
+    full vertex domain (doc_id) so isolated vertices become their own
+    component. Each round applies large-star then small-star to the
+    edge set and stops when the edge set reaches its fixpoint — a
+    forest of stars whose centers are the component minima. Unlike
+    one-hop min-label propagation (the previous build, O(diameter)
+    rounds — a chain-shaped near-dup graph at corpus scale would need
+    diameter full-edge joins), star contraction hop-doubles: a 10k-
+    node path converges in ~log2(n) rounds (round-count test in
+    tests/test_clusters.py). Pass `rounds` for a fixed budget instead
+    (exact when rounds >= diameter — star rounds are never slower
+    than one-hop rounds, and extra rounds past the fixpoint are
+    no-ops; the boundary tests use this). Each round is two
+    map-side-combined min aggs + two dedups, all O(edges); lineage is
+    truncated per round with localCheckpoint — without that, round
+    k's plan embeds the edge pipeline k more times and Catalyst blows
+    the driver heap before any task runs. Pass a dict as ``stats`` to
+    receive {"rounds", "final_edges", "mode"}.
     Returns (doc_id, cluster_id).
 
     Small-graph shortcut: when the edge list fits under
@@ -1294,57 +1348,58 @@ def min_label_components(
             pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
         edge_rows = pairs.limit(driver_max_edges + 1).collect()
         if len(edge_rows) <= driver_max_edges:
+            if stats is not None:
+                stats.update(
+                    {"rounds": 0, "final_edges": len(edge_rows),
+                     "mode": "driver_union_find"}
+                )
             return _driver_union_find(
                 [(r["doc_a"], r["doc_b"]) for r in edge_rows], nodes
             )
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+    edges = (
+        pairs.where(F.col("doc_a") != F.col("doc_b"))
+        .select(
+            F.greatest("doc_a", "doc_b").alias("u"),
+            F.least("doc_a", "doc_b").alias("v"),
         )
-    ).localCheckpoint()
-    labels = nodes.select(
-        "doc_id", F.col("doc_id").alias("cluster_id")
-    ).localCheckpoint()
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_count = edges.count()
+    used = 0
     for _ in range(rounds if rounds is not None else max_rounds):
-        nbr = (
-            edges.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"),
-                    F.col("cluster_id").alias("nbr_label"),
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("nbr_label").alias("nbr_min"))
-        )
-        new_labels = (
-            labels.join(
-                nbr.select(F.col("src").alias("doc_id"), "nbr_min"),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
+        new_edges = _small_star(_large_star(edges)).localCheckpoint()
+        used += 1
         if rounds is None:
-            changed = (
-                new_labels.withColumnRenamed("cluster_id", "new_cid")
-                .join(labels, "doc_id")
-                .where(F.col("new_cid") != F.col("cluster_id"))
-                .count()
-            )
-            if changed == 0:
-                return labels  # new == old; either is the fixpoint
-        labels = new_labels
-    return labels
+            # fixpoint test: set equality via count + one anti-join
+            # (new \ old empty AND |new| == |old| => equal). Both run
+            # over checkpointed frames, so each is one slim job.
+            new_count = new_edges.count()
+            if new_count == prev_count and (
+                new_edges.join(edges, ["u", "v"], "left_anti").count()
+                == 0
+            ):
+                edges = new_edges
+                break
+            prev_count = new_count
+        edges = new_edges
+    if stats is not None:
+        stats.update(
+            {"rounds": used, "final_edges": edges.count(),
+             "mode": "star_contraction"}
+        )
+    # at the fixpoint every non-minimum vertex carries exactly the
+    # edge (v, component_min); the min agg also makes the fixed-
+    # `rounds` pre-convergence state well-defined (best label so far)
+    lab = edges.groupBy("u").agg(F.min("v").alias("__cc_label"))
+    return nodes.join(
+        lab.withColumnRenamed("u", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("__cc_label"), F.col("doc_id")).alias(
+            "cluster_id"
+        ),
+    )
 
 
 @register("dedup_clusters", _CLUSTERS_DUCK)
@@ -1352,13 +1407,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the LSH candidate graph + canonical
     keeper per cluster — the keep/drop table a dedup pass feeds back
     into the pipeline. cluster_id = component-minimum doc_id, found
-    by _CC_ROUNDS rounds of min-label propagation: every round is one
-    join of the (symmetric) edge list against the label table and a
-    map-side-combined min agg — O(edges) work per round, fully
-    distributed, no driver-side graph. keep = (doc_id == cluster_id)
-    needs NO extra pass because the propagated label IS the component
-    min. The oracle computes the exact transitive closure, so a
-    corpus whose diameter exceeded the round budget would fail
+    by O(log n) rounds of large-star/small-star contraction: every
+    round is two map-side-combined min aggs + dedups over the edge
+    set — O(edges) work per round, fully distributed, no driver-side
+    graph (see min_label_components). keep = (doc_id == cluster_id)
+    needs NO extra pass because the converged star center IS the
+    component min. The oracle computes the exact transitive closure,
+    so a graph that somehow exceeded the round budget would fail
     parity loudly instead of silently under-merging.
 
     Propagation runs ONLY over candidate-involved vertices: a doc
@@ -1379,7 +1434,7 @@ def _cluster_keep_table(
     spark: SparkSession, sf_dir: str, cand: DataFrame
 ) -> DataFrame:
     """(doc_id, cluster_id, keep, cluster_size) over the full corpus
-    from candidate pairs: min-label propagation over the
+    from candidate pairs: large-star/small-star contraction over the
     candidate-involved vertices only, then one LEFT join back to the
     corpus (AQE broadcasts the small converged label table).
 
@@ -1771,7 +1826,7 @@ def phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-dedup endgame: connected components + canonical keeper
     over the hamming-VERIFIED phash pairs — the keep/drop table of a
     near-duplicate image pass, exactly symmetric to the text
-    pipeline's dedup_clusters (same min-label propagation over
+    pipeline's dedup_clusters (same star contraction over
     candidate-involved vertices only, same exact-transitive-closure
     oracle, so an under-merged graph fails parity loudly). The star
     pairs a capped boilerplate bucket emits preserve connectivity, so
@@ -1993,7 +2048,11 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("full_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        # dead (zero-norm) vectors score NULL sim via try_divide; drop
+        # them BEFORE ranking so they can never occupy a top-k slot on
+        # a tiny corpus with fewer than k live candidates
+        scored.where(F.col("full_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 5)
         .select(
             "query_id",
@@ -2190,7 +2249,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("full_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        # dead (zero-norm) vectors score NULL sim via try_divide; drop
+        # them BEFORE ranking so they can never occupy a top-k slot on
+        # a tiny corpus with fewer than k live candidates
+        scored.where(F.col("full_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
         .select(
             "query_id",
@@ -2294,7 +2357,11 @@ def ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("full_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        # dead (zero-norm) vectors score NULL sim via try_divide; drop
+        # them BEFORE ranking so they can never occupy a top-k slot on
+        # a tiny corpus with fewer than k live candidates
+        scored.where(F.col("full_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
         .select(
             "query_id",
@@ -2479,7 +2546,11 @@ def ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("full_sim"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        # dead (zero-norm) vectors score NULL sim via try_divide; drop
+        # them BEFORE ranking so they can never occupy a top-k slot on
+        # a tiny corpus with fewer than k live candidates
+        scored.where(F.col("full_sim").isNotNull())
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= 3)
         .select(
             "query_id",
@@ -3992,13 +4063,19 @@ def image_gate_flags(
     BEFORE any byte-level work (decode checks, phash, dedup)."""
     w, h = F.col(w_col), F.col(h_col)
     cap_len = F.length(F.coalesce(F.col(caption_col), F.lit("")))
-    f_side = F.least(w, h) < min_side
+    # every flag coalesces NULL -> True (fail-closed), mirroring
+    # compile_metadata_quality_gate: a NULL dimension/format row must
+    # be dropped, and `keep` must be a real boolean, never NULL
+    # (~(False | NULL) is NULL, which a downstream filter would treat
+    # as drop but a negated filter would too — ambiguity removed here)
+    f_side = F.coalesce(F.least(w, h) < min_side, F.lit(True))
     # try_divide: a corrupt row with a zero side must FAIL the gate
     # (f_side catches it), not abort the job under ANSI mode
-    f_aspect = (
-        F.try_divide(F.greatest(w, h), F.least(w, h)) > max_aspect
+    f_aspect = F.coalesce(
+        F.try_divide(F.greatest(w, h), F.least(w, h)) > max_aspect,
+        F.lit(True),
     )
-    f_fmt = ~F.col(fmt_col).isin(*formats)
+    f_fmt = F.coalesce(~F.col(fmt_col).isin(*formats), F.lit(True))
     f_cap = (cap_len < caption_chars[0]) | (cap_len > caption_chars[1])
     return df.select(
         "*",
@@ -4034,8 +4111,13 @@ def image_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     f_side = F.when(
         F.least("w", "h") < _IMG_MIN_SIDE, 1
     ).otherwise(0)
+    # try_divide for the same reason as image_gate_flags /
+    # compile_metadata_quality_gate: a zero side must fail f_side,
+    # not abort the whole job under ANSI division
     f_aspect = F.when(
-        F.greatest("w", "h") / F.least("w", "h") > _IMG_MAX_ASPECT, 1
+        F.try_divide(F.greatest("w", "h"), F.least("w", "h"))
+        > _IMG_MAX_ASPECT,
+        1,
     ).otherwise(0)
     f_fmt = F.when(~F.col("fmt").isin(*_IMG_FORMATS), 1).otherwise(0)
     f_cap = F.when(

@@ -1,8 +1,10 @@
-"""Connected-component clustering (min-label propagation): exactness
-at the round budget's diameter boundary, isolated vertices, and the
-end-to-end keep/drop query against the exact-closure oracle (the
-oracle check itself runs in the driver gate; here the propagation
-core is exercised on adversarial graph shapes LSH data won't hit)."""
+"""Connected-component clustering (large-star/small-star
+contraction): exactness at the round budget's diameter boundary,
+isolated vertices, the O(log n) round bound on a planted path graph,
+and the end-to-end keep/drop query against the exact-closure oracle
+(the oracle check itself runs in the driver gate; here the
+contraction core is exercised on adversarial graph shapes LSH data
+won't hit)."""
 
 import duckdb
 
@@ -70,6 +72,62 @@ def test_dedup_clusters_matches_closure_oracle(spark, tmp_path):
     hot = [r for r in got if r[3] == 40]
     assert sum(1 for r in hot if r[2]) == 1
     assert all(r[1] == 0 for r in hot)
+
+
+def test_path_graph_round_count_is_logarithmic(spark):
+    """The 100x-scale property the r4 verdict asked for: a planted
+    10k-node PATH graph (the worst case for one-hop propagation —
+    diameter 9,999) must converge in <= c*log2(n) contraction rounds,
+    not O(diameter). c = 2 leaves slack over the observed count while
+    still failing loudly if anyone reverts to one-hop propagation."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    n = 10_000
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    nodes = spark.range(n).select(F.col("id").alias("doc_id"))
+    stats = {}
+    labels = sq.min_label_components(
+        pairs, nodes, driver_max_edges=None, stats=stats
+    )
+    assert stats["mode"] == "star_contraction"
+    assert stats["rounds"] <= 2 * math.ceil(math.log2(n)), stats
+    got = labels.agg(
+        F.countDistinct("cluster_id").alias("k"),
+        F.min("cluster_id").alias("m"),
+    ).collect()[0]
+    assert (got.k, got.m) == (1, 0)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Distributed star contraction == driver union-find on seeded
+    random graphs (Erdos-Renyi-ish sparse + two planted chains), the
+    same exactness property the boundary tests check by hand."""
+    import random
+
+    rng = random.Random(7)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(300)]
+    edges += [(i, i + 1) for i in range(50, 90)]  # planted chain
+    edges += [(i, i + 1) for i in range(300, 390)]  # longer chain
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)], "doc_id long"
+    )
+    dist = {
+        (r.doc_id, r.cluster_id)
+        for r in sq.min_label_components(
+            pairs, nodes, driver_max_edges=None
+        ).collect()
+    }
+    uf = {
+        (r.doc_id, r.cluster_id)
+        for r in sq.min_label_components(pairs, nodes).collect()
+    }
+    assert dist == uf
 
 
 def test_union_find_matches_distributed_propagation(spark):
