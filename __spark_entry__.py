@@ -151,13 +151,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, schema)
 
 
+def _coverage_order(names) -> list[str]:
+    """Order queries least-recently-driver-verified FIRST, so a
+    driver whose correctness budget samples a prefix (r4 checked the
+    first 50 of 64) still reaches every registered query within two
+    rounds: entries with no CORRECTNESS_r*.json row ever sort before
+    entries whose newest green row is oldest, registration order
+    breaking ties. Reads only this repo's committed artifacts, so the
+    ordering is deterministic for a given checkout."""
+    import glob
+    import json
+    import re
+
+    last_round: dict[str, int] = {}
+    for path in glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json")):
+        m = re.search(r"r(\d+)", os.path.basename(path))
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                rows = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            ok = isinstance(row, dict) and row.get("rows_match")
+            if ok and rnd > last_round.get(name, -1):
+                last_round[name] = rnd
+    pos = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (last_round.get(n, -1), pos[n]))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: fn for name, (fn, _) in suite_queries.registry().items()}
+    reg = suite_queries.registry()
+    return {name: reg[name][0] for name in _coverage_order(list(reg))}
 
 
 def oracle_sql() -> dict[str, str]:
+    reg = suite_queries.registry()
     return {
-        name: sql
-        for name, (_, sql) in suite_queries.registry().items()
-        if sql is not None
+        name: reg[name][1]
+        for name in _coverage_order(list(reg))
+        if reg[name][1] is not None
     }
