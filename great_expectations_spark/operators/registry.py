@@ -7,6 +7,7 @@ flat dict assembled at import time.
 
 from __future__ import annotations
 
+from .ann_gate import ANN_COMPILERS
 from .library_agg import AGG_COMPILERS
 from .library_map import MAP_COMPILERS
 from .distribution import DISTRIBUTION_COMPILERS
@@ -28,6 +29,7 @@ for src in (
     UNIQUE_COMPILERS,
     IMAGE_COMPILERS,
     MEDIA_COMPILERS,
+    ANN_COMPILERS,
 ):
     COMPILERS.update(src)
 
