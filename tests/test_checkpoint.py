@@ -226,6 +226,96 @@ def test_checkpoint_actions(spark, tmp_path):
     assert ar[3]["success"] is True
 
 
+def test_checkpoint_data_docs_action(spark, tmp_path):
+    from great_expectations_spark.render import UpdateDataDocsAction
+
+    path = make_table(spark, tmp_path, n=600)
+    site = str(tmp_path / "site")
+    runner = CheckpointRunner(
+        spark, path, the_suite(), str(tmp_path / "state_docs"), "docs1",
+        group_col="fmt", actions=[UpdateDataDocsAction(site)],
+    )
+    res = runner.run()
+
+    ar = res.meta["actions_results"]
+    assert ar[0]["action"] == "UpdateDataDocsAction"
+    assert ar[0]["success"] is True
+    page_path = ar[0]["result"]["page"]
+    assert page_path == os.path.join(site, "validations", "docs1.html")
+    page = open(page_path).read()
+
+    # header: suite name + overall status badge
+    assert "ckpt" in page
+    assert ("Succeeded" in page) or ("Failed" in page)
+    # statistics block renders every suite-statistics key with values
+    for key, val in res.statistics.items():
+        assert key.replace("_", " ") in page, key
+    assert str(res.statistics["evaluated_expectations"]) in page
+    # one row per expectation: type, column, pass/fail marker
+    for evr in res.results:
+        assert evr.expectation_config.expectation_type in page
+    assert page.count("<tr>") >= len(res.results) + 1
+    assert ("✓ pass" in page) or ("✗ fail" in page)
+    # map-expectation rows surface unexpected counts from the result
+    any_map = next(
+        r for r in res.results if "unexpected_count" in (r.result or {})
+    )
+    assert f"{any_map.result['unexpected_count']} unexpected" in page
+
+    # the index lists the run and re-renders on a second run
+    index = open(os.path.join(site, "index.html")).read()
+    assert "validations/docs1.html" in index
+    runner2 = CheckpointRunner(
+        spark, path, the_suite(), str(tmp_path / "state_docs"), "docs2",
+        group_col="fmt", actions=[UpdateDataDocsAction(site)],
+    )
+    runner2.run()
+    index = open(os.path.join(site, "index.html")).read()
+    assert "validations/docs1.html" in index
+    assert "validations/docs2.html" in index
+
+
+def test_render_page_escapes_and_handles_exceptions(tmp_path):
+    from great_expectations_spark.core.config import (
+        ExpectationConfiguration,
+    )
+    from great_expectations_spark.core.result import (
+        ExpectationSuiteValidationResult,
+        ExpectationValidationResult,
+        exception_result,
+    )
+    from great_expectations_spark.render import render_suite_result_page
+
+    cfg = ExpectationConfiguration(
+        "expect_column_values_to_match_regex",
+        kwargs={"column": "c<aption>", "regex": "<script>&"},
+    )
+    ok = ExpectationValidationResult(
+        success=True,
+        expectation_config=cfg,
+        result={
+            "element_count": 10,
+            "unexpected_count": 2,
+            "unexpected_percent": 20.0,
+            "partial_unexpected_list": ["<img onerror=x>", "b&b"],
+        },
+    )
+    bad = exception_result(
+        ExpectationConfiguration(
+            "expect_column_mean_to_be_between", kwargs={"column": "w"}
+        ),
+        RuntimeError("boom <tag>"),
+    )
+    suite_res = ExpectationSuiteValidationResult.from_results([ok, bad])
+    page = render_suite_result_page(suite_res, "s<uite>", "r<1>")
+    # raw HTML from user data never reaches the page unescaped
+    assert "<script>" not in page
+    assert "<img onerror" not in page
+    assert "&lt;script&gt;" in page
+    assert "exception: boom &lt;tag&gt;" in page
+    assert "sample violations:" in page
+
+
 def _assert_parity(expected, got):
     assert [r.success for r in expected.results] == [
         r.success for r in got.results
