@@ -426,24 +426,102 @@ def profile_batches(
     }
 
 
+def bootstrap_quantile_range(
+    values: List[float],
+    false_positive_rate: float = 0.05,
+    n_resamples: int = 1000,
+    seed: int = 0,
+    bias_std_error_ratio_threshold: float = 0.25,
+) -> "tuple[float, float]":
+    """Bootstrap point estimates of the (fpr/2, 1-fpr/2) quantiles of
+    a per-batch metric-value sample — the reference's "bootstrap"
+    range estimator (rule_based_profiler/helpers/util.py:716
+    ``compute_bootstrap_quantiles_point_estimate``, Efron &
+    Tibshirani bias-corrected): resample the k batch values with
+    replacement n_resamples times, take each resample's lower/upper
+    quantile, and correct the sample quantile by the bootstrap bias
+    when the bias is large relative to its standard error (ref
+    util.py:847-900 ``_determine_quantile_bias_corrected_point_
+    estimate``; same default 0.25 ratio threshold).
+
+    Driver-side numpy over k ≈ n_batches scalars — never over rows —
+    so cost is O(n_resamples·k) regardless of table size."""
+    import numpy as np
+
+    arr = np.asarray(values, dtype=float)
+    lo_q = false_positive_rate / 2.0
+    hi_q = 1.0 - false_positive_rate / 2.0
+    sample_lo = float(np.quantile(arr, lo_q, method="linear"))
+    sample_hi = float(np.quantile(arr, hi_q, method="linear"))
+    rng = np.random.Generator(np.random.PCG64(seed))
+    boots = rng.choice(arr, size=(n_resamples, arr.size), replace=True)
+
+    def corrected(sample_q: float, q: float) -> float:
+        bq = np.quantile(boots, q, axis=1, method="linear")
+        bias = float(bq.mean()) - sample_q
+        std_err = float(bq.std(ddof=1)) if bq.size > 1 else 0.0
+        est = sample_q
+        if std_err > 0 and abs(bias) / std_err > (
+            bias_std_error_ratio_threshold
+        ):
+            est = sample_q - bias
+        # clamp into the observed support: with tiny k and a heavy
+        # outlier the raw correction 'sample - bias' can overshoot
+        # clear past the data (the reference's formula shares this
+        # pathology; a quantile point estimate outside [min, max] is
+        # never the right answer for bound-setting)
+        return float(min(max(est, arr.min()), arr.max()))
+
+    return corrected(sample_lo, lo_q), corrected(sample_hi, hi_q)
+
+
 def suite_from_batches(
     multibatch: Dict[str, Any],
     name: str = "multibatch-profiled",
     slack: float = 0.25,
     rel_floor: float = 0.05,
+    estimator: str = "range",
+    false_positive_rate: float = 0.05,
+    n_resamples: int = 1000,
+    seed: int = 0,
 ) -> ExpectationSuite:
     """Derive a suite from cross-batch metric ranges, the assistant's
-    range-estimator shape: a metric observed in [lo, hi] across
-    batches gets bounds padded by max(slack*spread,
+    range-estimator shape (ref onboarding_data_assistant.py:100-476
+    via NumericMetricRangeMultiBatchParameterBuilder):
+
+    - ``estimator="range"`` — a metric observed in [lo, hi] across
+      batches gets those observed extremes as the core interval.
+    - ``estimator="bootstrap"`` — the core interval is the
+      bias-corrected bootstrap point estimate of the
+      (fpr/2, 1-fpr/2) quantiles of the per-batch values
+      (:func:`bootstrap_quantile_range`), the reference's default
+      estimator; robust to one outlier batch where "range" is not.
+
+    Either interval is then padded by max(slack*spread,
     rel_floor*magnitude). The relative floor matters when a handful
     of batches agree tightly — the observed spread then underestimates
     sampling variance (HLL distinct counts carry ~2% error, stddev has
-    sampling noise), and a pure spread-based pad would fail fresh
-    same-distribution batches."""
+    sampling noise), and an unpadded interval would fail fresh
+    same-distribution batches. (The reference hits the same small-k
+    limitation: a batch-level bootstrap cannot see outside the
+    observed support, so bounds stay point-estimate-tight without a
+    floor.)"""
+    if estimator not in ("range", "bootstrap"):
+        raise ValueError(
+            f"unknown estimator {estimator!r}: use 'range' or 'bootstrap'"
+        )
     suite = ExpectationSuite(name=name)
 
     def bounds(rng: Dict[str, Any]):
-        lo, hi = rng["min"], rng["max"]
+        if estimator == "bootstrap" and len(rng["values"]) > 1:
+            lo, hi = bootstrap_quantile_range(
+                rng["values"],
+                false_positive_rate=false_positive_rate,
+                n_resamples=n_resamples,
+                seed=seed,
+            )
+        else:
+            lo, hi = rng["min"], rng["max"]
         spread = hi - lo
         pad = max(
             slack * spread, rel_floor * max(abs(lo), abs(hi), 1.0)

@@ -166,6 +166,82 @@ def test_multibatch_profile_and_suite(spark):
     assert "w" in failed_cols
 
 
+def test_bootstrap_estimator_suite_covers_held_out_batch(spark):
+    from great_expectations_spark.data.images import images_df
+    from great_expectations_spark.profile import (
+        profile_batches,
+        suite_from_batches,
+    )
+
+    batches = [
+        images_df(spark, n_rows=800, seed=s) for s in (1, 2, 3, 4, 5)
+    ]
+    mb = profile_batches(batches, columns=["w", "h"])
+    suite = suite_from_batches(mb, estimator="bootstrap", seed=7)
+    types = {e.expectation_type for e in suite.expectations}
+    assert "expect_column_mean_to_be_between" in types
+
+    # deterministic: same seed → identical bounds
+    suite_again = suite_from_batches(mb, estimator="bootstrap", seed=7)
+    assert [e.kwargs for e in suite.expectations] == [
+        e.kwargs for e in suite_again.expectations
+    ]
+
+    # bootstrap bounds cover a fresh same-distribution batch
+    fresh = images_df(spark, n_rows=800, seed=11)
+    res = ges.validate(fresh, suite, result_format="BASIC")
+    assert res.success, [
+        (r.expectation_config.expectation_type,
+         r.expectation_config.kwargs.get("column"), r.result)
+        for r in res.results if not r.success
+    ]
+
+
+def test_bootstrap_estimator_shrinks_outlier_batch_influence():
+    """The property the reference buys with its bootstrap estimator
+    (onboarding_data_assistant's default): one wild batch drags the
+    'range' interval to its extremes, while the bootstrap quantile
+    point estimate stays near the bulk of the batches."""
+    from great_expectations_spark.profile import (
+        bootstrap_quantile_range,
+    )
+
+    bulk = [10.0, 10.2, 9.9, 10.1, 10.0, 9.8, 10.3, 10.05]
+    values = bulk + [40.0]  # one outlier batch
+    lo, hi = bootstrap_quantile_range(
+        values, false_positive_rate=0.2, seed=3
+    )
+    assert lo == pytest.approx(9.88, abs=0.5)
+    # range estimator would put hi at 40; bootstrap keeps it near bulk
+    assert hi < 15.0
+    # with no outlier both estimators agree on the support
+    lo2, hi2 = bootstrap_quantile_range(
+        bulk, false_positive_rate=0.2, seed=3
+    )
+    assert 9.0 <= lo2 <= 10.0 and 10.0 <= hi2 <= 11.0
+    # estimates are always inside the observed support, even where
+    # the raw bias correction would overshoot past the data
+    lo3, hi3 = bootstrap_quantile_range(
+        values, false_positive_rate=0.3, seed=3
+    )
+    assert min(values) <= lo3 <= max(values)
+    assert min(values) <= hi3 <= max(values)
+
+
+def test_suite_from_batches_rejects_unknown_estimator(spark):
+    from great_expectations_spark.data.images import images_df
+    from great_expectations_spark.profile import (
+        profile_batches,
+        suite_from_batches,
+    )
+
+    mb = profile_batches(
+        [images_df(spark, n_rows=100, seed=1)], columns=["w"]
+    )
+    with pytest.raises(ValueError, match="unknown estimator"):
+        suite_from_batches(mb, estimator="jackknife")
+
+
 def test_azure_url_and_confs():
     from great_expectations_spark.sources.cloud import (
         azure_spark_confs,
