@@ -20,6 +20,7 @@ from .core.result import (
     ExpectationValidationResult,
 )
 from .checkpoint import CheckpointRunner, run_validations
+from .context import DataContext
 from .operators.registry import list_expectation_types
 from .plans.planner import CompiledSuite, SparkValidator, compile_suite, validate
 from .profile import profile_table, suite_from_baseline
@@ -30,6 +31,7 @@ __all__ = [
     "CheckpointRunner",
     "CompiledSuite",
     "compile_suite",
+    "DataContext",
     "ExpectationConfiguration",
     "ExpectationSuite",
     "ExpectationSuiteValidationResult",
